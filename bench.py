@@ -1,0 +1,143 @@
+"""Benchmark: DeepFM training throughput on MovieLens-scale data, per chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no numbers (BASELINE.md) and is a single-process CPU
+TF library, so the baseline here is self-referential: the first TPU run
+writes its result to BENCH_BASELINE.json and later rounds report the ratio
+against that pinned first-run value (>1.0 = faster than round-1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_PATH = os.path.join(REPO, "BENCH_BASELINE.json")
+
+BATCH = 8192
+EMBED_DIM = 16
+HIDDEN = (256, 32)
+SCAN_STEPS = 64   # steps fused into one device-resident lax.scan
+SCAN_REPEATS = 8  # timed scan invocations (total steps = 64 * 8)
+
+
+def main():
+    import jax
+    import optax
+
+    from deep_recommenders_tpu.features import Feature
+    from deep_recommenders_tpu.models.ranking import DeepFM
+    from deep_recommenders_tpu.training import Trainer
+
+    specs = (
+        Feature("user_id", hash_buckets=6040),
+        Feature("user_gender", vocab=("F", "M")),
+        Feature("user_age", vocab=(1, 18, 25, 35, 45, 50, 56)),
+        Feature("user_occupation", vocab=tuple(range(21))),
+        Feature("movie_id", hash_buckets=3952),
+        Feature("movie_genres", vocab=tuple(range(18)), max_len=6),
+    )
+    rng = np.random.default_rng(0)
+    n = BATCH * 4  # a few distinct device-resident batches
+    data = {
+        "user_id": rng.integers(0, 6040, n).astype(np.int32),
+        "user_gender": rng.integers(0, 2, n).astype(np.int32),
+        "user_age": rng.integers(0, 7, n).astype(np.int32),
+        "user_occupation": rng.integers(0, 21, n).astype(np.int32),
+        "movie_id": rng.integers(0, 3952, n).astype(np.int32),
+        "movie_genres": rng.integers(0, 18, (n, 6)).astype(np.int32),
+        "movie_genres__wt": (rng.random((n, 6)) < 0.5).astype(np.float32),
+    }
+    labels = (rng.random((n, 1)) < 0.5).astype(np.float32)
+
+    model = DeepFM(specs, embedding_dim=EMBED_DIM, hidden=HIDDEN)
+    trainer = Trainer(model, optax.adam(1e-3), seed=0)
+
+    # Device-resident step loop: stack 4 distinct batches, lax.scan the train
+    # step over SCAN_STEPS (cycling through them). Measures the compute path
+    # without per-step Python/tunnel dispatch, which at ~100us steps would
+    # otherwise dominate and add 30%+ run-to-run noise.
+    stacked = {
+        k: jax.device_put(
+            np.stack([v[i * BATCH : (i + 1) * BATCH] for i in range(4)])
+        )
+        for k, v in data.items()
+    }
+    stacked_labels = jax.device_put(
+        np.stack([labels[i * BATCH : (i + 1) * BATCH] for i in range(4)])
+    )
+    first = {k: v[0] for k, v in stacked.items()}
+    state = trainer.init(first)
+
+    train_step = trainer.train_step_fn  # unjitted; scan traces it inline
+
+    def scan_body(state, i):
+        batch = {k: v[i % 4] for k, v in stacked.items()}
+        state, loss = train_step(state, batch, stacked_labels[i % 4])
+        return state, loss
+
+    @jax.jit
+    def run_scan(state):
+        import jax.numpy as jnp
+
+        return jax.lax.scan(
+            scan_body, state, jnp.arange(SCAN_STEPS)
+        )
+
+    state, losses = run_scan(state)  # compile + warmup
+    jax.block_until_ready(losses)
+
+    t0 = time.perf_counter()
+    for _ in range(SCAN_REPEATS):
+        state, losses = run_scan(state)
+    jax.block_until_ready(losses)
+    elapsed = time.perf_counter() - t0
+
+    n_chips = max(1, jax.device_count())
+    total_steps = SCAN_STEPS * SCAN_REPEATS
+    examples_per_sec_chip = total_steps * BATCH / elapsed / n_chips
+
+    baseline = None
+    if os.path.exists(BASELINE_PATH):
+        try:
+            with open(BASELINE_PATH) as f:
+                baseline = json.load(f).get("examples_per_sec_per_chip")
+        except (OSError, json.JSONDecodeError):
+            baseline = None
+    if not baseline:
+        with open(BASELINE_PATH, "w") as f:
+            json.dump(
+                {
+                    "examples_per_sec_per_chip": examples_per_sec_chip,
+                    "config": {
+                        "model": "DeepFM",
+                        "batch": BATCH,
+                        "embed_dim": EMBED_DIM,
+                        "hidden": list(HIDDEN),
+                        "backend": jax.default_backend(),
+                    },
+                },
+                f,
+                indent=2,
+            )
+        baseline = examples_per_sec_chip
+
+    print(
+        json.dumps(
+            {
+                "metric": "deepfm_train_examples_per_sec_per_chip",
+                "value": round(examples_per_sec_chip, 1),
+                "unit": "examples/sec/chip",
+                "vs_baseline": round(examples_per_sec_chip / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

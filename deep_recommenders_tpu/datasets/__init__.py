@@ -1,0 +1,11 @@
+from deep_recommenders_tpu.datasets.cora import Cora
+from deep_recommenders_tpu.datasets.movielens import (
+    MovielensRanking,
+    default_movielens_features,
+    load_ml1m,
+    synthesize_ml1m,
+)
+from deep_recommenders_tpu.datasets.synthetic_multitask import (
+    SyntheticForMultiTask,
+    synthetic_two_task,
+)

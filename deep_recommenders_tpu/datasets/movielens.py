@@ -1,0 +1,279 @@
+"""MovieLens-1M ingest: ETL + ranking task view, as pre-batched ID tensors.
+
+Reference semantics reproduced (deep_recommenders/datasets/movielens.py):
+- corpus stats + vocabs: 1,000,209 ratings / 6,040 users / 3,952 movies,
+  gender/age/occupation/genres vocab lists (ref movielens.py:103-112)
+- ETL: join users.dat + movies.dat onto shuffled ratings.dat by ID
+  (ref movielens.py:65-93)
+- ranking view: columns renamed to user_id/user_gender/user_age/
+  user_occupation/movie_id/movie_genres and label = float(rating > 3)
+  (ref movielens.py:170-186)
+- 0.8/0.2 train/test split (ref movielens.py:148-168). The reference's
+  ``test_steps`` arithmetic mixes per-epoch and total-epoch step counts so
+  test data leaks from repeated epochs (SURVEY §fidelity); here the split is
+  done ONCE over the shuffled example array before any epoch repetition.
+
+TPU-first divergences (deliberate, documented):
+- All feature transforms run once on the host; batches are dense int32 ID
+  tensors with static shapes (see features/columns.py).
+- ``movie_genres`` uses the real genres vocab. The reference examples build
+  it from gender_vocab by mistake (e.g. ref
+  examples/train_deepfm_on_movielens_estimator.py:23-24).
+- Since this environment has no network access, a deterministic synthetic
+  generator with the same schema/marginals and a learnable latent-factor
+  rating structure stands in when the ml-1m .dat files are absent.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+from deep_recommenders_tpu.features.columns import (
+    Feature,
+    FeatureEncoder,
+    WEIGHT_SUFFIX,
+)
+
+# Corpus constants (ref movielens.py:103-112).
+NUM_RATINGS = 1_000_209
+NUM_USERS = 6_040
+NUM_MOVIES = 3_952
+GENDER_VOCAB = ("F", "M")
+AGE_VOCAB = (1, 18, 25, 35, 45, 50, 56)
+OCCUPATION_VOCAB = tuple(range(21))
+GENRES_VOCAB = (
+    "Action", "Adventure", "Animation", "Children's", "Comedy",
+    "Crime", "Documentary", "Drama", "Fantasy", "Film-Noir", "Horror",
+    "Musical", "Mystery", "Romance", "Sci-Fi", "Thriller", "War", "Western",
+)
+MAX_GENRES = 6  # ml-1m movies carry at most 6 genres
+
+
+def _load_dat(path: str, columns) -> Dict[str, Dict[str, str]]:
+    """Parse an ml-1m ``::``-separated .dat file into {key: row_dict}."""
+    data: Dict[str, Dict[str, str]] = {}
+    with open(path, "r", encoding="unicode_escape") as f:
+        for line in f:
+            parts = line.strip("\n").split("::")
+            data[parts[0]] = dict(zip(columns[1:], parts[1:]))
+    return data
+
+
+def load_ml1m(datadir: str, seed: int = 42) -> Dict[str, np.ndarray]:
+    """Faithful ml-1m ETL: join users/movies onto shuffled ratings.
+
+    Mirrors ref movielens.py:65-93 (join + shuffle) but emits numpy columns
+    instead of TFRecords.
+    """
+    users = _load_dat(
+        os.path.join(datadir, "users.dat"),
+        ["UserID", "Gender", "Age", "Occupation", "Zip-code"],
+    )
+    movies = _load_dat(
+        os.path.join(datadir, "movies.dat"), ["MovieID", "Title", "Genres"]
+    )
+    uid, mid, rating, ts = [], [], [], []
+    gender, age, occ, genres = [], [], [], []
+    with open(
+        os.path.join(datadir, "ratings.dat"), "r", encoding="unicode_escape"
+    ) as f:
+        for line in f:
+            u, m, r, t = line.strip().split("::")
+            uid.append(u)
+            mid.append(m)
+            rating.append(int(r))
+            ts.append(int(t))
+            urow, mrow = users[u], movies[m]
+            gender.append(urow["Gender"])
+            age.append(int(urow["Age"]))
+            occ.append(int(urow["Occupation"]))
+            genres.append(tuple(mrow["Genres"].split("|")))
+    n = len(uid)
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+
+    def _take(seq):
+        arr = np.asarray(seq, dtype=object)
+        return arr[perm]
+
+    return {
+        "UserID": _take(uid),
+        "MovieID": _take(mid),
+        "Rating": np.asarray(rating, dtype=np.int64)[perm],
+        "Timestamp": np.asarray(ts, dtype=np.int64)[perm],
+        "Gender": _take(gender),
+        "Age": np.asarray(age, dtype=np.int64)[perm],
+        "Occupation": np.asarray(occ, dtype=np.int64)[perm],
+        "Genres": _take(genres),
+    }
+
+
+def synthesize_ml1m(
+    num_ratings: int = NUM_RATINGS,
+    num_users: int = NUM_USERS,
+    num_movies: int = NUM_MOVIES,
+    latent_dim: int = 8,
+    seed: int = 42,
+) -> Dict[str, np.ndarray]:
+    """Deterministic MovieLens-like corpus with learnable structure.
+
+    Ratings follow a latent-factor model: propensity = sigmoid of
+    (user_factor . movie_factor + user_bias + movie_bias), quantile-mapped to
+    the 1..5 scale so ``rating > 3`` is predictable from IDs (and weakly from
+    demographics, which bias the user factors). Same schema/vocabs as ml-1m.
+    """
+    rng = np.random.default_rng(seed)
+    # Per-user attributes.
+    user_gender = rng.choice(len(GENDER_VOCAB), num_users)
+    user_age = rng.choice(len(AGE_VOCAB), num_users)
+    user_occ = rng.choice(len(OCCUPATION_VOCAB), num_users)
+    u_fac = rng.normal(0, 1.0, (num_users, latent_dim))
+    # Demographics nudge the factors so demographic features carry signal.
+    u_fac[:, 0] += 0.5 * (user_gender * 2 - 1)
+    u_fac[:, 1] += 0.25 * (user_age - len(AGE_VOCAB) / 2)
+    u_bias = rng.normal(0, 0.5, num_users)
+    # Per-movie attributes.
+    m_fac = rng.normal(0, 1.0, (num_movies, latent_dim))
+    m_bias = rng.normal(0, 0.5, num_movies)
+    n_genres = rng.integers(1, 4, num_movies)
+    movie_genres = [
+        tuple(
+            GENRES_VOCAB[g]
+            for g in rng.choice(len(GENRES_VOCAB), k, replace=False)
+        )
+        for k in n_genres
+    ]
+    # Popularity-skewed sampling of (user, movie) pairs, like real ML-1M.
+    movie_pop = rng.zipf(1.4, num_movies).astype(np.float64)
+    movie_p = movie_pop / movie_pop.sum()
+    uid = rng.integers(0, num_users, num_ratings)
+    mid = rng.choice(num_movies, num_ratings, p=movie_p)
+    score = (
+        (u_fac[uid] * m_fac[mid]).sum(-1) / np.sqrt(latent_dim)
+        + u_bias[uid]
+        + m_bias[mid]
+        + rng.normal(0, 0.8, num_ratings)
+    )
+    # Quantile-map scores to ratings 1..5 with ml-1m-like marginals
+    # (~57.5% of ml-1m ratings are > 3).
+    qs = np.quantile(score, [0.06, 0.17, 0.425, 0.77])
+    rating = np.digitize(score, qs) + 1
+    return {
+        "UserID": np.char.mod("%d", uid),
+        "MovieID": np.char.mod("%d", mid),
+        "Rating": rating.astype(np.int64),
+        "Timestamp": rng.integers(9.5e8, 1.05e9, num_ratings),
+        "Gender": np.asarray(GENDER_VOCAB, dtype=object)[user_gender[uid]],
+        "Age": np.asarray(AGE_VOCAB, dtype=np.int64)[user_age[uid]],
+        "Occupation": np.asarray(OCCUPATION_VOCAB, dtype=np.int64)[
+            user_occ[uid]
+        ],
+        "Genres": np.asarray(movie_genres, dtype=object)[mid],
+    }
+
+
+def default_movielens_features(
+    user_hash_buckets: int = NUM_USERS,
+    movie_hash_buckets: int = NUM_MOVIES,
+) -> Tuple[Feature, ...]:
+    """The canonical MovieLens feature set, mirroring the reference examples'
+    build_columns() (hash-bucket ids, vocab-list demographics; ref
+    examples/train_deepfm_on_movielens_estimator.py:11-35) but with the real
+    genres vocab."""
+    return (
+        Feature("user_id", hash_buckets=user_hash_buckets),
+        Feature("user_gender", vocab=GENDER_VOCAB),
+        Feature("user_age", vocab=AGE_VOCAB),
+        Feature("user_occupation", vocab=OCCUPATION_VOCAB),
+        Feature("movie_id", hash_buckets=movie_hash_buckets),
+        Feature(
+            "movie_genres",
+            vocab=GENRES_VOCAB,
+            max_len=MAX_GENRES,
+            combiner="mean",
+        ),
+    )
+
+
+@dataclasses.dataclass
+class MovielensRanking:
+    """CTR ranking view of MovieLens: encoded ID tensors + binary label.
+
+    label = float(rating > 3) (ref movielens.py:181-183); train/test split
+    0.8/0.2 once over shuffled examples (fixing the reference's leaky
+    ``test_steps`` arithmetic at ref movielens.py:159-160).
+    """
+
+    batch_size: int = 1024
+    train_size: float = 0.8
+    datadir: Optional[str] = None
+    num_ratings: int = NUM_RATINGS
+    seed: int = 42
+    features: Tuple[Feature, ...] = dataclasses.field(
+        default_factory=default_movielens_features
+    )
+
+    def __post_init__(self):
+        if self.datadir and os.path.exists(
+            os.path.join(self.datadir, "ratings.dat")
+        ):
+            raw = load_ml1m(self.datadir, seed=self.seed)
+        else:
+            raw = synthesize_ml1m(self.num_ratings, seed=self.seed)
+        encoder = FeatureEncoder(self.features)
+        self._data = encoder.encode(
+            {
+                "user_id": raw["UserID"],
+                "user_gender": raw["Gender"],
+                "user_age": raw["Age"],
+                "user_occupation": raw["Occupation"],
+                "movie_id": raw["MovieID"],
+                "movie_genres": raw["Genres"],
+            }
+        )
+        self._label = (raw["Rating"] > 3).astype(np.float32)[:, None]
+        n = len(self._label)
+        self._n_train = int(n * self.train_size)
+        self._n = n
+
+    @property
+    def feature_specs(self) -> Tuple[Feature, ...]:
+        return tuple(self.features)
+
+    @property
+    def train_steps_per_epoch(self) -> int:
+        return self._n_train // self.batch_size
+
+    @property
+    def test_steps(self) -> int:
+        return (self._n - self._n_train) // self.batch_size
+
+    def _slice(self, lo: int, hi: int):
+        feats = {k: v[lo:hi] for k, v in self._data.items()}
+        return feats, self._label[lo:hi]
+
+    def train_batches(
+        self, epochs: int = 1, shuffle_seed: Optional[int] = None
+    ) -> Iterator[Tuple[Dict[str, np.ndarray], np.ndarray]]:
+        """Yield fixed-size train batches (remainder dropped: static shapes)."""
+        b = self.batch_size
+        for e in range(epochs):
+            idx = np.arange(self._n_train)
+            if shuffle_seed is not None:
+                np.random.default_rng(shuffle_seed + e).shuffle(idx)
+            for s in range(self.train_steps_per_epoch):
+                rows = idx[s * b : (s + 1) * b]
+                feats = {k: v[rows] for k, v in self._data.items()}
+                yield feats, self._label[rows]
+
+    def test_batches(
+        self,
+    ) -> Iterator[Tuple[Dict[str, np.ndarray], np.ndarray]]:
+        b = self.batch_size
+        for s in range(self.test_steps):
+            lo = self._n_train + s * b
+            yield self._slice(lo, lo + b)

@@ -1,0 +1,64 @@
+"""Shared model building blocks: MLP tower, activation resolution.
+
+Replaces the reference's ``dnn()`` primitive
+(ref deep_recommenders/estimator/models/feature_interaction/dnn.py:9-31).
+Note the reference's batch-norm path is dead code — it calls
+``tf.nn.batch_normalization(x)`` without the required moment args and crashes
+when enabled (ref dnn.py:24, SURVEY §fidelity). Here BatchNorm is a working
+flax BatchNorm with proper running statistics.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Activation = Union[str, Callable[[jax.Array], jax.Array], None]
+
+
+def resolve_activation(act: Activation) -> Optional[Callable]:
+    if act is None:
+        return None
+    if callable(act):
+        return act
+    table = {
+        "relu": jax.nn.relu,
+        "sigmoid": jax.nn.sigmoid,
+        "tanh": jnp.tanh,
+        "gelu": jax.nn.gelu,
+        "softmax": jax.nn.softmax,
+        "linear": None,
+        "none": None,
+    }
+    if act not in table:
+        raise ValueError(f"Unknown activation {act!r}")
+    return table[act]
+
+
+class MLP(nn.Module):
+    """Hidden layers with activation (+ optional BN / dropout), then a final
+    linear layer of ``output_dim`` units (omitted when output_dim is None)."""
+
+    hidden: Sequence[int]
+    output_dim: Optional[int] = 1
+    activation: Activation = "relu"
+    batch_norm: bool = False
+    dropout: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
+        act = resolve_activation(self.activation)
+        for units in self.hidden:
+            x = nn.Dense(units)(x)
+            if act is not None:
+                x = act(x)
+            if self.batch_norm:
+                x = nn.BatchNorm(use_running_average=not training)(x)
+            if self.dropout:
+                x = nn.Dropout(self.dropout, deterministic=not training)(x)
+        if self.output_dim is not None:
+            x = nn.Dense(self.output_dim)(x)
+        return x

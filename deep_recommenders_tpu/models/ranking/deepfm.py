@@ -1,0 +1,47 @@
+"""DeepFM: FM + deep tower over SHARED embeddings -> (B, 1) logits.
+
+Parity: the reference's defining property is that the DNN consumes the same
+embedding tables as the FM second-order term
+(ref deep_recommenders/estimator/models/ranking/deepfm.py:33-34 and
+keras/models/ranking/deepfm.py:36-47): logits = linear + fm + mlp(flatten(emb)).
+Here that sharing is structural — one EmbeddingCollection feeds both heads,
+so its gradient accumulates both signals in a single backward pass.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+
+from deep_recommenders_tpu.embedding.engine import (
+    EmbeddingCollection,
+    LinearTerms,
+)
+from deep_recommenders_tpu.features.columns import Feature
+from deep_recommenders_tpu.models.common import MLP
+from deep_recommenders_tpu.ops.fm import fm_interaction
+
+
+class DeepFM(nn.Module):
+    specs: Tuple[Feature, ...]
+    embedding_dim: int = 16
+    hidden: Tuple[int, ...] = (256, 32)
+    dropout: float = 0.0
+
+    def setup(self):
+        self.linear = LinearTerms(self.specs)
+        self.embeddings = EmbeddingCollection(self.specs, self.embedding_dim)
+        self.deep = MLP(
+            self.hidden, output_dim=1,
+            dropout=self.dropout if self.dropout else None,
+        )
+
+    def __call__(self, batch, training: bool = False) -> jax.Array:
+        first_order = self.linear(batch)
+        stacked = self.embeddings(batch)  # (B, F, D)
+        fm_logit = fm_interaction(stacked)
+        b = stacked.shape[0]
+        deep_logit = self.deep(stacked.reshape(b, -1), training=training)
+        return first_order + fm_logit + deep_logit

@@ -1,0 +1,55 @@
+"""FNN: factorization-machine-supported neural network with FM warm start.
+
+Parity: ref deep_recommenders/estimator/models/ranking/fnn.py:9-90. The
+reference's two-phase flow loads an FM SavedModel in a second tf.Session and
+name-munges scope-prefixed variables into constant initializers (:32-48).
+TPU-native equivalent: FNN's ``linear`` / ``embeddings`` submodules have the
+SAME param-tree structure as FactorizationMachine's, so warm start is a pure
+pytree graft from an FM checkpoint — see training/warmstart.py
+(``warm_start_from``). No second session, no name munging.
+
+Input construction mirrors ref fnn.py:76-86: per-feature first-order weights
+concatenated with per-feature embeddings feed the MLP.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from deep_recommenders_tpu.embedding.engine import (
+    EmbeddingCollection,
+    LinearTerms,
+)
+from deep_recommenders_tpu.features.columns import Feature, WEIGHT_SUFFIX
+from deep_recommenders_tpu.models.common import MLP
+
+
+class FNN(nn.Module):
+    specs: Tuple[Feature, ...]
+    embedding_dim: int = 16
+    hidden: Tuple[int, ...] = (256, 128, 64)
+
+    def setup(self):
+        self.linear = LinearTerms(self.specs)
+        self.embeddings = EmbeddingCollection(self.specs, self.embedding_dim)
+        self.deep = MLP(self.hidden, output_dim=1)
+
+    def __call__(self, batch, training: bool = False) -> jax.Array:
+        # Per-feature first-order weights, gathered (not summed): (B, F).
+        per_feature_w = []
+        for spec, off in zip(self.specs, self.linear._feature_offsets):
+            ids = batch[spec.name] + off
+            w = jnp.take(self.linear.weights, ids, axis=0)
+            if spec.is_multi:
+                wt = batch[spec.name + WEIGHT_SUFFIX][..., None]
+                w = (w * wt).sum(axis=1)
+            per_feature_w.append(w[:, 0])
+        first_order = jnp.stack(per_feature_w, axis=1)  # (B, F)
+        stacked = self.embeddings(batch)  # (B, F, D)
+        b = stacked.shape[0]
+        x = jnp.concatenate([first_order, stacked.reshape(b, -1)], axis=1)
+        return self.deep(x, training=training)

@@ -1,0 +1,15 @@
+from deep_recommenders_tpu.parallel.mesh import (
+    MeshConfig,
+    create_mesh,
+    get_default_mesh,
+    set_default_mesh,
+)
+from deep_recommenders_tpu.parallel.sharding import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharding,
+    replicated,
+    shard_batch,
+    table_sharding,
+    with_sharding,
+)

@@ -1,0 +1,223 @@
+"""Jitted training loop: the tf.estimator / keras-fit replacement.
+
+The reference delegates the loop to TF (session loop + RunConfig in the
+estimator branch, model.fit in keras; SURVEY §1.4/§3.1). Here the loop is
+explicit and TPU-shaped:
+
+- one jitted ``train_step`` (donated state, loss from logits, optax update),
+  traced once thanks to static batch shapes;
+- eval metrics update INSIDE the jitted eval step;
+- data-parallel by construction: batches are device_put with the leading dim
+  sharded over the mesh "data" axis and params replicated/sharded by GSPMD —
+  gradient psum is inserted by XLA, not hand-written;
+- early stopping + per-step examples/sec, the north-star metric
+  (BASELINE.md) the reference never measured.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh
+
+from deep_recommenders_tpu.parallel.sharding import shard_batch
+from deep_recommenders_tpu.training import metrics as metrics_lib
+from deep_recommenders_tpu.training.losses import binary_cross_entropy
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+    def tree_flatten(self):
+        return (self.params, self.opt_state, self.step), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        del aux
+        return cls(*children)
+
+
+jax.tree_util.register_pytree_node(
+    TrainState,
+    lambda s: s.tree_flatten(),
+    TrainState.tree_unflatten,
+)
+
+
+LossFn = Callable[..., jax.Array]
+
+
+def bce_loss(model) -> LossFn:
+    """Default CTR loss: sigmoid BCE on the model's logits."""
+
+    def loss_fn(params, batch, labels, rngs=None):
+        logits = model.apply(params, batch, training=True, rngs=rngs)
+        return binary_cross_entropy(logits, labels)
+
+    return loss_fn
+
+
+class Trainer:
+    """Minimal fit/evaluate driver around jitted steps."""
+
+    def __init__(
+        self,
+        model,
+        optimizer: optax.GradientTransformation,
+        loss_fn: Optional[LossFn] = None,
+        mesh: Optional[Mesh] = None,
+        seed: int = 42,
+        has_dropout: bool = False,
+    ):
+        self.model = model
+        self.optimizer = optimizer
+        self.loss_fn = loss_fn or bce_loss(model)
+        self.mesh = mesh
+        self.seed = seed
+        self.has_dropout = has_dropout
+        self._auc = metrics_lib.AUC()
+        self._pr = metrics_lib.PrecisionRecall()
+        self._build_steps()
+
+    # -- state ------------------------------------------------------------
+    def init(self, sample_batch) -> TrainState:
+        batch = jax.tree.map(jnp.asarray, sample_batch)
+        params = self.model.init(
+            jax.random.PRNGKey(self.seed), batch, training=False
+        )
+        opt_state = self.optimizer.init(params)
+        return TrainState(
+            params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32)
+        )
+
+    # -- jitted steps -----------------------------------------------------
+    def _build_steps(self):
+        loss_fn, optimizer = self.loss_fn, self.optimizer
+        has_dropout, seed = self.has_dropout, self.seed
+
+        def train_step(state: TrainState, batch, labels):
+            rngs = None
+            if has_dropout:
+                rngs = {
+                    "dropout": jax.random.fold_in(
+                        jax.random.PRNGKey(seed), state.step
+                    )
+                }
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state.params, batch, labels, rngs
+            )
+            updates, opt_state = optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            return (
+                TrainState(
+                    params=params, opt_state=opt_state, step=state.step + 1
+                ),
+                loss,
+            )
+
+        model, auc, pr = self.model, self._auc, self._pr
+
+        def eval_step(params, batch, labels, metric_state):
+            logits = model.apply(params, batch, training=False)
+            probs = jax.nn.sigmoid(logits)
+            loss = binary_cross_entropy(logits, labels)
+            return {
+                "auc": auc.update(metric_state["auc"], labels, probs),
+                "pr": pr.update(metric_state["pr"], labels, probs),
+                "loss": metrics_lib.Mean.update(metric_state["loss"], loss),
+            }
+
+        self.train_step_fn = train_step  # unjitted (for scan/custom loops)
+        self.train_step = jax.jit(train_step, donate_argnums=(0,))
+        # No donation for eval: metric states are tiny, and freshly-init
+        # zeros can alias the same cached constant buffer.
+        self.eval_step = jax.jit(eval_step)
+
+    # -- drivers ----------------------------------------------------------
+    def _put(self, batch):
+        return shard_batch(batch, self.mesh)
+
+    def fit(
+        self,
+        train_batches: Callable[[], Iterable[Tuple[Dict, Any]]],
+        eval_batches: Optional[Callable[[], Iterable[Tuple[Dict, Any]]]] = None,
+        epochs: int = 1,
+        early_stopping_patience: Optional[int] = None,
+        log_every: int = 100,
+        verbose: bool = True,
+    ) -> Dict[str, Any]:
+        state = None
+        history = []
+        best_metric, best_epoch = -float("inf"), -1
+        examples = 0
+        t0 = time.perf_counter()
+        for epoch in range(epochs):
+            for batch, labels in train_batches():
+                batch = self._put(batch)
+                labels = self._put(labels)
+                if state is None:
+                    state = self.init(batch)
+                state, loss = self.train_step(state, batch, labels)
+                examples += labels.shape[0]
+                step = int(state.step)
+                if verbose and log_every and step % log_every == 0:
+                    elapsed = time.perf_counter() - t0
+                    print(
+                        f"step {step} loss {float(loss):.4f} "
+                        f"({examples / elapsed:.0f} ex/s)"
+                    )
+            if state is None:
+                raise ValueError(
+                    "train_batches yielded no batches (corpus smaller than "
+                    "one batch?) — nothing to train on"
+                )
+            epoch_summary = {"epoch": epoch, "loss": float(loss)}
+            if eval_batches is not None:
+                epoch_summary.update(self.evaluate(state.params, eval_batches))
+                metric = epoch_summary.get("auc", -epoch_summary["val_loss"])
+                if metric > best_metric:
+                    best_metric, best_epoch = metric, epoch
+                elif (
+                    early_stopping_patience is not None
+                    and epoch - best_epoch >= early_stopping_patience
+                ):
+                    history.append(epoch_summary)
+                    break
+            history.append(epoch_summary)
+            if verbose:
+                print({k: round(v, 4) if isinstance(v, float) else v
+                       for k, v in epoch_summary.items()})
+        elapsed = time.perf_counter() - t0
+        return {
+            "state": state,
+            "history": history,
+            "examples_per_sec": examples / elapsed,
+        }
+
+    def evaluate(self, params, eval_batches) -> Dict[str, float]:
+        metric_state = {
+            "auc": self._auc.init(),
+            "pr": self._pr.init(),
+            "loss": metrics_lib.Mean.init(),
+        }
+        for batch, labels in eval_batches():
+            batch = self._put(batch)
+            labels = self._put(labels)
+            metric_state = self.eval_step(params, batch, labels, metric_state)
+        pr = self._pr.compute(metric_state["pr"])
+        return {
+            "auc": float(self._auc.compute(metric_state["auc"])),
+            "precision": float(pr["precision"]),
+            "recall": float(pr["recall"]),
+            "val_loss": float(metrics_lib.Mean.compute(metric_state["loss"])),
+        }

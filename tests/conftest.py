@@ -1,0 +1,31 @@
+"""Test env: force an 8-device virtual CPU platform.
+
+This is the standard JAX answer to testing multi-device sharding without a
+TPU pod (SURVEY §4): all sharding/mesh tests run on 8 virtual CPU devices;
+the driver separately dry-runs the multi-chip path on its own mesh.
+
+Note: this environment's sitecustomize imports jax and pins the "axon" TPU
+platform at interpreter startup, so setting JAX_PLATFORMS here is too late —
+we must override via jax.config AFTER import (backends initialize lazily, so
+the XLA_FLAGS device-count flag still applies).
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)

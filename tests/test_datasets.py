@@ -1,0 +1,96 @@
+import numpy as np
+
+from deep_recommenders_tpu.datasets import (
+    Cora,
+    MovielensRanking,
+    SyntheticForMultiTask,
+    synthesize_ml1m,
+)
+from deep_recommenders_tpu.datasets.movielens import MAX_GENRES
+
+
+def make_small_ranking(batch_size=64):
+    return MovielensRanking(
+        batch_size=batch_size, num_ratings=2000, seed=7
+    )
+
+
+def test_synthetic_corpus_schema():
+    raw = synthesize_ml1m(num_ratings=500, seed=3)
+    assert len(raw["UserID"]) == 500
+    assert set(raw["Rating"]) <= {1, 2, 3, 4, 5}
+    # Deterministic.
+    raw2 = synthesize_ml1m(num_ratings=500, seed=3)
+    np.testing.assert_array_equal(raw["Rating"], raw2["Rating"])
+    # Label balance is ml-1m-like (~57% positive), not degenerate.
+    pos = (raw["Rating"] > 3).mean()
+    assert 0.4 < pos < 0.7
+
+
+def test_ranking_batches_shapes_and_split():
+    ds = make_small_ranking(batch_size=64)
+    # Split arithmetic: fixed 0.8/0.2 over examples (no epoch leakage).
+    assert ds.train_steps_per_epoch == int(2000 * 0.8) // 64
+    assert ds.test_steps == (2000 - int(2000 * 0.8)) // 64
+    batches = list(ds.train_batches(epochs=1))
+    assert len(batches) == ds.train_steps_per_epoch
+    feats, label = batches[0]
+    assert feats["user_id"].shape == (64,)
+    assert feats["movie_genres"].shape == (64, MAX_GENRES)
+    assert feats["movie_genres__wt"].shape == (64, MAX_GENRES)
+    assert label.shape == (64, 1)
+    assert set(np.unique(label)) <= {0.0, 1.0}
+    # Test batches don't overlap train rows: labels differ run to run there.
+    test_feats, _ = next(iter(ds.test_batches()))
+    assert test_feats["user_id"].shape == (64,)
+
+
+def test_ranking_epochs_reshuffle():
+    ds = make_small_ranking()
+    e1 = [f["user_id"] for f, _ in ds.train_batches(1, shuffle_seed=1)]
+    e2 = [f["user_id"] for f, _ in ds.train_batches(1, shuffle_seed=2)]
+    assert not np.array_equal(np.concatenate(e1), np.concatenate(e2))
+    # Same multiset of rows.
+    assert sorted(np.concatenate(e1)) == sorted(np.concatenate(e2))
+
+
+def test_synthetic_multitask_contract():
+    ds = SyntheticForMultiTask(num_examples=256, example_dim=16, p=0.8)
+    feats, labels = next(iter(ds.batches(batch_size=128)))
+    assert feats["features"].shape == (128, 16)
+    assert set(labels) == {"labels0", "labels1"}
+    assert labels["labels0"].shape == (128, 1)
+    cols = ds.column_view(feats["features"])
+    assert len(cols) == 16 and cols["C3"].shape == (128, 1)
+    # Task correlation increases with p (MMoE paper property).
+    hi = SyntheticForMultiTask(512, 16, p=0.95, seed=1)
+    lo = SyntheticForMultiTask(512, 16, p=0.05, seed=1)
+
+    def corr(d):
+        f, l = next(iter(d.batches(batch_size=512)))
+        return abs(np.corrcoef(l["labels0"][:, 0], l["labels1"][:, 0])[0, 1])
+
+    assert corr(hi) > corr(lo)
+
+
+def test_cora_contract():
+    cora = Cora(synthetic_nodes=200, synthetic_features=70, seed=5)
+    n = cora.features.shape[0]
+    assert n == 200 and cora.features.shape[1] == 70
+    # Row-normalized features.
+    sums = cora.features.sum(1)
+    np.testing.assert_allclose(sums[sums > 0], 1.0, rtol=1e-5)
+    # Symmetric adjacency, normalized spectral form.
+    np.testing.assert_array_equal(cora.adjacency, cora.adjacency.T)
+    assert cora.spectral_adjacency.shape == (n, n)
+    splits = cora.splits(num_per_class=5, num_valid=50)
+    train_labels, train_mask = splits["train"]
+    assert train_mask.sum() <= 5 * cora.num_classes
+    assert train_labels.shape == (n, cora.num_classes)
+    # Masks are disjoint and cover all nodes.
+    total = (
+        splits["train"][1].astype(int)
+        + splits["valid"][1].astype(int)
+        + splits["test"][1].astype(int)
+    )
+    assert total.max() == 1 and total.sum() == n
