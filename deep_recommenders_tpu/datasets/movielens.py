@@ -277,3 +277,50 @@ class MovielensRanking:
         for s in range(self.test_steps):
             lo = self._n_train + s * b
             yield self._slice(lo, lo + b)
+
+    # -- retrieval (two-tower) view --------------------------------------
+    USER_KEYS = ("user_id", "user_gender", "user_age", "user_occupation")
+    ITEM_KEYS = ("movie_id", "movie_genres")
+
+    def _pair_view(self, rows: np.ndarray):
+        user = {
+            k: v[rows]
+            for k, v in self._data.items()
+            if k.split(WEIGHT_SUFFIX)[0] in self.USER_KEYS
+        }
+        item = {
+            k: v[rows]
+            for k, v in self._data.items()
+            if k.split(WEIGHT_SUFFIX)[0] in self.ITEM_KEYS
+        }
+        return user, item
+
+    def retrieval_batches(
+        self,
+        epochs: int = 1,
+        shuffle_seed: Optional[int] = None,
+        split: str = "train",
+    ) -> Iterator[Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]]:
+        """(user_features, watched_movie_features) positive pairs for the
+        two-tower task (in-batch negatives supply the contrast; the
+        reference's retrieval stack consumes such pairs via sbcnm.Retrieval).
+        Only positively-rated events (label 1) form pairs."""
+        if split == "train":
+            pos = np.flatnonzero(self._label[: self._n_train, 0] > 0.5)
+        else:
+            pos = self._n_train + np.flatnonzero(
+                self._label[self._n_train :, 0] > 0.5
+            )
+        b = self.batch_size
+        for e in range(epochs):
+            idx = pos.copy()
+            if shuffle_seed is not None:
+                np.random.default_rng(shuffle_seed + e).shuffle(idx)
+            for s in range(len(idx) // b):
+                yield self._pair_view(idx[s * b : (s + 1) * b])
+
+    def user_specs(self) -> Tuple[Feature, ...]:
+        return tuple(f for f in self.features if f.name in self.USER_KEYS)
+
+    def item_specs(self) -> Tuple[Feature, ...]:
+        return tuple(f for f in self.features if f.name in self.ITEM_KEYS)

@@ -1,0 +1,13 @@
+from deep_recommenders_tpu.models.retrieval.factorized_top_k import (
+    BruteForce,
+    FactorizedTopK,
+    InMemoryStreaming,
+    Streaming,
+    TopK,
+)
+from deep_recommenders_tpu.models.retrieval.gcn import GCN, GCNLayer
+from deep_recommenders_tpu.models.retrieval.two_tower import (
+    Retrieval,
+    Tower,
+    TwoTower,
+)
