@@ -1,0 +1,105 @@
+"""Token embedding + multi-head attention.
+
+Parity: ref deep_recommenders/keras/models/nlp/multi_head_attention.py —
+- ``TokenEmbedding``: lookup scaled by sqrt(d) (ref :8-32).
+- ``MultiHeadAttention``: separate Q/K/V projections + output merge
+  (ref :92-152). The reference implements heads by splitting along the
+  embedding axis and CONCATENATING ALONG THE BATCH AXIS (ref :134-136);
+  TPU-first this is a reshape to (B, H, S, Dh) folded to (B*H, S, Dh) so all
+  heads run as one batched kernel invocation — same math, MXU-friendly
+  layout. The score path goes through ops/attention.attention (Pallas flash
+  kernel on TPU, jnp SDPA elsewhere).
+
+Dropout on attention WEIGHTS (ref :83) does not exist in the flash path (the
+weight matrix is never materialized); dropout is applied to the attention
+output instead — a standard, documented divergence.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from deep_recommenders_tpu.ops.attention import attention
+
+
+class TokenEmbedding(nn.Module):
+    vocab_size: int
+    dim: int
+
+    @nn.compact
+    def __call__(self, token_ids: jax.Array) -> jax.Array:
+        table = self.param(
+            "table",
+            nn.initializers.normal(stddev=1.0),
+            (self.vocab_size, self.dim),
+        )
+        return jnp.take(table, token_ids, axis=0) * jnp.sqrt(
+            jnp.float32(self.dim)
+        )
+
+    def attend(self, embeddings: jax.Array) -> jax.Array:
+        """Tied pre-softmax projection: logits over the vocab using the same
+        table (ref transformer.py:263-265 weight sharing)."""
+        table = self.get_variable("params", "table")
+        return embeddings @ table.T
+
+
+class MultiHeadAttention(nn.Module):
+    num_heads: int
+    model_dim: int
+    dropout: float = 0.0
+    causal: bool = False
+    use_flash: Optional[bool] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        queries: jax.Array,
+        keys: jax.Array,
+        values: jax.Array,
+        key_mask: Optional[jax.Array] = None,
+        training: bool = False,
+    ) -> jax.Array:
+        """queries: (B, Sq, D); keys/values: (B, Sk, D);
+        key_mask: (B, Sk) with 1 = valid token."""
+        if self.model_dim % self.num_heads != 0:
+            raise ValueError(
+                f"model_dim {self.model_dim} not divisible by "
+                f"num_heads {self.num_heads}"
+            )
+        b, sq, _ = queries.shape
+        sk = keys.shape[1]
+        h, dh = self.num_heads, self.model_dim // self.num_heads
+
+        def split_heads(x, s):
+            return (
+                x.reshape(b, s, h, dh)
+                .transpose(0, 2, 1, 3)
+                .reshape(b * h, s, dh)
+            )
+
+        q = split_heads(nn.Dense(self.model_dim, name="q_proj")(queries), sq)
+        k = split_heads(nn.Dense(self.model_dim, name="k_proj")(keys), sk)
+        v = split_heads(nn.Dense(self.model_dim, name="v_proj")(values), sk)
+
+        mask_bh = None
+        if key_mask is not None:
+            mask_bh = jnp.repeat(key_mask, h, axis=0)  # (B*H, Sk)
+
+        out = attention(
+            q, k, v, key_mask=mask_bh, causal=self.causal,
+            use_flash=self.use_flash,
+        )
+        out = (
+            out.reshape(b, h, sq, dh)
+            .transpose(0, 2, 1, 3)
+            .reshape(b, sq, self.model_dim)
+        )
+        out = nn.Dense(self.model_dim, name="out_proj")(out)
+        if self.dropout:
+            out = nn.Dropout(self.dropout, deterministic=not training)(out)
+        return out

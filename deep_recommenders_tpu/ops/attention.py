@@ -1,0 +1,251 @@
+"""Attention ops: reference SDPA + Pallas blockwise (flash) attention.
+
+Parity: ref deep_recommenders/keras/models/nlp/multi_head_attention.py:35-89
+computes QK^T/sqrt(d), additive padding mask tiled over heads, optional
+causal mask via a lower-triangular operator, softmax, dropout, @V — all with
+the full (S, S) score matrix materialized in memory.
+
+TPU-first: ``flash_attention`` never materializes (S, S): the Pallas kernel
+streams K/V blocks through VMEM with an online-softmax running max/sum and
+accumulates the output in fp32 scratch (one HBM pass over K/V per Q block).
+This single kernel serves both the Transformer (causal + padding masks) and
+DIN-style sequence attention, and its block structure is the natural seam
+for sequence/context parallelism later (SURVEY §5.7). The jnp path is the
+semantics oracle and the CPU/dropout fallback.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def scaled_dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_mask: Optional[jax.Array] = None,
+    causal: bool = False,
+) -> jax.Array:
+    """Reference SDPA. q/k/v: (..., S, D); key_mask: (..., S_k) with 1=valid."""
+    d = q.shape[-1]
+    scores = jnp.einsum("...qd,...kd->...qk", q, k) / jnp.sqrt(
+        jnp.float32(d)
+    ).astype(q.dtype)
+    if key_mask is not None:
+        scores = jnp.where(
+            key_mask[..., None, :] > 0, scores, NEG_INF
+        )
+    if causal:
+        sq, sk = scores.shape[-2], scores.shape[-1]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 1)
+        scores = jnp.where(cols <= rows, scores, NEG_INF)
+    weights = jax.nn.softmax(scores, axis=-1)
+    # Fully-masked rows (padding queries) emit zeros, not a uniform average
+    # over masked keys — matches the flash kernel's semantics.
+    any_valid = jnp.max(scores, axis=-1, keepdims=True) > NEG_INF / 2
+    weights = jnp.where(any_valid, weights, 0.0)
+    return jnp.einsum("...qk,...kd->...qd", weights, v)
+
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, mask_ref, o_ref,
+    m_scratch, l_scratch, acc_scratch,
+    *, scale: float, causal: bool, block_q: int, block_k: int,
+):
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scratch[:] = jnp.full_like(m_scratch, NEG_INF)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    i = pl.program_id(1)
+    # Causal: blocks entirely in the future contribute nothing — skip the
+    # matmuls (roughly halves the work for self-attention).
+    block_live = (
+        jnp.asarray(True)
+        if not causal
+        else (j * block_k <= i * block_q + block_q - 1)
+    )
+
+    @pl.when(block_live)
+    def _body():
+        q = q_ref[0].astype(jnp.float32)  # (bq, d)
+        k = k_ref[0].astype(jnp.float32)  # (bk, d)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (bq, bk)
+
+        mask = mask_ref[0] > 0  # (1, bk) valid keys
+        s = jnp.where(mask, s, NEG_INF)
+        if causal:
+            rows = (
+                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+                + i * block_q
+            )
+            cols = (
+                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+                + j * block_k
+            )
+            s = jnp.where(cols <= rows, s, NEG_INF)
+
+        m_prev = m_scratch[:]  # (bq, 1)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        # Guard fully-masked rows: exp(NEG_INF - NEG_INF) would be exp(0)=1.
+        p = jnp.exp(s - m_new)
+        p = jnp.where(s <= NEG_INF / 2, 0.0, p)
+        alpha = jnp.exp(m_prev - m_new)
+        alpha = jnp.where(m_prev <= NEG_INF / 2, 0.0, alpha)
+        l_new = alpha * l_scratch[:] + jnp.sum(p, axis=-1, keepdims=True)
+        v = v_ref[0].astype(jnp.float32)
+        acc_scratch[:] = acc_scratch[:] * alpha + jnp.dot(
+            p, v, preferred_element_type=jnp.float32
+        )
+        m_scratch[:] = m_new
+        l_scratch[:] = l_new
+
+    @pl.when(j == nk - 1)
+    def _finalize():
+        denom = jnp.maximum(l_scratch[:], 1e-30)
+        o_ref[0] = (acc_scratch[:] / denom).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("causal", "block_q", "block_k", "interpret")
+)
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_mask: Optional[jax.Array] = None,
+    causal: bool = False,
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Blockwise attention. q: (BH, Sq, D), k/v: (BH, Sk, D),
+    key_mask: (BH, Sk) 1=valid (None = all valid). Returns (BH, Sq, D)."""
+    bh, sq, d = q.shape
+    sk = k.shape[1]
+    block_q = min(block_q, sq)
+    block_k = min(block_k, sk)
+    pad_q = (-sq) % block_q
+    pad_k = (-sk) % block_k
+    if key_mask is None:
+        key_mask = jnp.ones((bh, sk), jnp.float32)
+    key_mask = key_mask.astype(jnp.float32)
+    if pad_q:
+        q = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0)))
+    if pad_k:
+        k = jnp.pad(k, ((0, 0), (0, pad_k), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad_k), (0, 0)))
+        key_mask = jnp.pad(key_mask, ((0, 0), (0, pad_k)))
+    sq_p, sk_p = sq + pad_q, sk + pad_k
+    grid = (bh, sq_p // block_q, sk_p // block_k)
+    mask3 = key_mask[:, None, :]  # (BH, 1, Sk)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel,
+            scale=1.0 / (d**0.5),
+            causal=causal,
+            block_q=block_q,
+            block_k=block_k,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, block_q, d), lambda b, i, j: (b, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, block_k, d), lambda b, i, j: (b, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, block_k, d), lambda b, i, j: (b, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k), lambda b, i, j: (b, 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, d), lambda b, i, j: (b, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, mask3)
+    return out[:, :sq, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _flash_attention_diff(q, k, v, key_mask, causal):
+    return flash_attention(q, k, v, key_mask=key_mask, causal=causal)
+
+
+def _flash_fwd(q, k, v, key_mask, causal):
+    out = flash_attention(q, k, v, key_mask=key_mask, causal=causal)
+    return out, (q, k, v, key_mask)
+
+
+def _flash_bwd(causal, residuals, g):
+    # Backward via the SDPA formulation (recompute scores; XLA fuses the
+    # chain). Materializes (S, S) in the backward only — the forward stays
+    # flash. A Pallas backward kernel is the follow-up optimization.
+    q, k, v, key_mask = residuals
+    _, vjp = jax.vjp(
+        lambda q, k, v: scaled_dot_product_attention(
+            q, k, v, key_mask=key_mask, causal=causal
+        ),
+        q, k, v,
+    )
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_flash_attention_diff.defvjp(_flash_fwd, _flash_bwd)
+
+
+def attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_mask: Optional[jax.Array] = None,
+    causal: bool = False,
+    use_flash: Optional[bool] = None,
+) -> jax.Array:
+    """Dispatch: flash kernel on TPU, jnp SDPA elsewhere. Batched heads
+    layout (BH, S, D)."""
+    if use_flash is None:
+        use_flash = jax.default_backend() == "tpu"
+    if use_flash:
+        if key_mask is None:
+            key_mask = jnp.ones(k.shape[:2], jnp.float32)
+        return _flash_attention_diff(q, k, v, key_mask, causal)
+    return scaled_dot_product_attention(
+        q, k, v, key_mask=key_mask, causal=causal
+    )
