@@ -45,27 +45,29 @@ def ftrl(
     def update_fn(grads, state, params):
         if params is None:
             raise ValueError("ftrl requires params")
+        # Plain multi-pass tree maps (no is_leaf tricks): under
+        # optax.multi_transform/masked, pruned leaves become MaskedNode —
+        # an EMPTY pytree that tree.map must be allowed to skip.
+        n_new = jax.tree.map(
+            lambda n, g: n + jnp.square(g), state.n, grads
+        )
+        z_new = jax.tree.map(
+            lambda z, g, n, nn, w: z + g - (jnp.sqrt(nn) - jnp.sqrt(n)) / lr * w,
+            state.z, grads, state.n, n_new, params,
+        )
 
-        def _upd(g, z, n, w):
-            n_new = n + jnp.square(g)
-            sigma = (jnp.sqrt(n_new) - jnp.sqrt(n)) / lr
-            z_new = z + g - sigma * w
-            denom = (beta + jnp.sqrt(n_new)) / lr + l2
-            w_new = jnp.where(
-                jnp.abs(z_new) <= l1,
+        def _w_new(z, nn):
+            denom = (beta + jnp.sqrt(nn)) / lr + l2
+            return jnp.where(
+                jnp.abs(z) <= l1,
                 0.0,
-                -(z_new - jnp.sign(z_new) * l1) / denom,
+                -(z - jnp.sign(z) * l1) / denom,
             )
-            return w_new - w, z_new, n_new
 
-        flat = jax.tree.map(_upd, grads, state.z, state.n, params)
-        updates = jax.tree.map(lambda t: t[0], flat,
-                               is_leaf=lambda t: isinstance(t, tuple))
-        z = jax.tree.map(lambda t: t[1], flat,
-                         is_leaf=lambda t: isinstance(t, tuple))
-        n = jax.tree.map(lambda t: t[2], flat,
-                         is_leaf=lambda t: isinstance(t, tuple))
-        return updates, FtrlState(z=z, n=n)
+        updates = jax.tree.map(
+            lambda z, nn, w: _w_new(z, nn) - w, z_new, n_new, params
+        )
+        return updates, FtrlState(z=z_new, n=n_new)
 
     return optax.GradientTransformation(init_fn, update_fn)
 

@@ -17,6 +17,9 @@ explicit and TPU-shaped:
 from __future__ import annotations
 
 import dataclasses
+import functools
+import os
+import shutil
 import time
 from typing import Any, Callable, Dict, Iterable, Optional, Tuple
 
@@ -197,6 +200,152 @@ class Trainer:
             if verbose:
                 print({k: round(v, 4) if isinstance(v, float) else v
                        for k, v in epoch_summary.items()})
+        elapsed = time.perf_counter() - t0
+        return {
+            "state": state,
+            "history": history,
+            "examples_per_sec": examples / elapsed,
+        }
+
+    # -- device-resident fast path ---------------------------------------
+    def fit_device(
+        self,
+        train_data,
+        eval_data=None,
+        epochs: int = 1,
+        shuffle_seed: Optional[int] = 42,
+        early_stopping_patience: Optional[int] = None,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_every_epochs: int = 1,
+        keep_checkpoint_max: int = 10,
+        verbose: bool = True,
+    ) -> Dict[str, Any]:
+        """Epochs as single jitted lax.scan calls over DeviceData.
+
+        Removes the per-step host round trip entirely: one dispatch per
+        epoch, data gathered on-device from the resident split.
+        """
+        import jax.numpy as jnp
+
+        train_step_fn = self.train_step_fn
+        batch = train_data.batch_size
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run_epoch(state, perm):
+            steps = perm.shape[0] // batch
+
+            def body(state, step):
+                rows = jax.lax.dynamic_slice_in_dim(
+                    perm, step * batch, batch
+                )
+                b, l = train_data.gather(rows)
+                state, loss = train_step_fn(state, b, l)
+                return state, loss
+
+            return jax.lax.scan(body, state, jnp.arange(steps))
+
+        auc, pr = self._auc, self._pr
+        model = self.model
+
+        @jax.jit
+        def run_eval(params, perm):
+            steps = perm.shape[0] // batch
+
+            def body(mstate, step):
+                rows = jax.lax.dynamic_slice_in_dim(
+                    perm, step * batch, batch
+                )
+                b, labels = eval_data.gather(rows)
+                logits = model.apply(params, b, training=False)
+                probs = jax.nn.sigmoid(logits)
+                loss = binary_cross_entropy(logits, labels)
+                return {
+                    "auc": auc.update(mstate["auc"], labels, probs),
+                    "pr": pr.update(mstate["pr"], labels, probs),
+                    "loss": metrics_lib.Mean.update(mstate["loss"], loss),
+                }, None
+
+            init = {
+                "auc": auc.init(),
+                "pr": pr.init(),
+                "loss": metrics_lib.Mean.init(),
+            }
+            mstate, _ = jax.lax.scan(body, init, jnp.arange(steps))
+            return mstate
+
+        # Init from the first batch — or resume from the latest checkpoint
+        # (RunConfig-style implicit resume from model_dir, SURVEY §5.4).
+        first_rows = train_data.permutation(None, 0)[:batch]
+        first_batch, _ = train_data.gather(first_rows)
+        state = self.init(first_batch)
+        start_epoch = 0
+        if checkpoint_dir is not None:
+            from deep_recommenders_tpu.training.checkpoints import (
+                latest_step_dir,
+                restore_checkpoint,
+            )
+
+            latest = latest_step_dir(checkpoint_dir)
+            if latest is not None:
+                state = restore_checkpoint(latest, state)
+                start_epoch = int(
+                    os.path.basename(latest).split("_")[1]
+                ) + 1
+                if verbose:
+                    print(f"resumed from {latest} (epoch {start_epoch})")
+
+        history = []
+        best_metric, best_epoch = -float("inf"), -1
+        t0 = time.perf_counter()
+        examples = 0
+        saved_ckpts = []
+        for epoch in range(start_epoch, epochs):
+            perm = train_data.permutation(shuffle_seed, epoch)
+            state, losses = run_epoch(state, perm)
+            examples += int(perm.shape[0])
+            if (
+                checkpoint_dir is not None
+                and (epoch + 1) % checkpoint_every_epochs == 0
+            ):
+                from deep_recommenders_tpu.training.checkpoints import (
+                    save_checkpoint,
+                )
+
+                path = save_checkpoint(
+                    os.path.join(checkpoint_dir, f"step_{epoch}"), state
+                )
+                saved_ckpts.append(path)
+                while len(saved_ckpts) > keep_checkpoint_max:
+                    old = saved_ckpts.pop(0)
+                    shutil.rmtree(old, ignore_errors=True)
+            summary = {"epoch": epoch, "loss": float(losses[-1])}
+            if eval_data is not None:
+                eval_perm = eval_data.permutation(None, 0)
+                mstate = run_eval(state.params, eval_perm)
+                prc = pr.compute(mstate["pr"])
+                summary.update(
+                    auc=float(auc.compute(mstate["auc"])),
+                    precision=float(prc["precision"]),
+                    recall=float(prc["recall"]),
+                    val_loss=float(metrics_lib.Mean.compute(mstate["loss"])),
+                )
+                metric = summary["auc"]
+                if metric > best_metric:
+                    best_metric, best_epoch = metric, epoch
+                elif (
+                    early_stopping_patience is not None
+                    and epoch - best_epoch >= early_stopping_patience
+                ):
+                    history.append(summary)
+                    break
+            history.append(summary)
+            if verbose:
+                elapsed = time.perf_counter() - t0
+                print(
+                    {k: round(v, 4) if isinstance(v, float) else v
+                     for k, v in summary.items()},
+                    f"[{examples / elapsed:.0f} ex/s]",
+                )
         elapsed = time.perf_counter() - t0
         return {
             "state": state,

@@ -33,6 +33,12 @@ def main():
     p.add_argument("--embedding-dim", type=int, default=16)
     p.add_argument("--learning-rate", type=float, default=1e-3)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument(
+        "--host-streaming",
+        action="store_true",
+        help="feed batches from host per step instead of the "
+        "device-resident fast path",
+    )
     args = p.parse_args()
 
     print("Loading MovieLens ...")
@@ -52,13 +58,32 @@ def main():
     trainer = Trainer(
         model, optax.adam(args.learning_rate), seed=args.seed
     )
-    result = trainer.fit(
-        lambda: ds.train_batches(epochs=1, shuffle_seed=args.seed),
-        lambda: ds.test_batches(),
-        epochs=args.epochs,
-        early_stopping_patience=3,
-        log_every=200,
-    )
+    if args.host_streaming:
+        result = trainer.fit(
+            lambda: ds.train_batches(epochs=1, shuffle_seed=args.seed),
+            lambda: ds.test_batches(),
+            epochs=args.epochs,
+            early_stopping_patience=3,
+            log_every=200,
+        )
+    else:
+        from deep_recommenders_tpu.training.data import DeviceData
+
+        n_train = ds.train_steps_per_epoch * ds.batch_size
+        train = DeviceData.from_numpy(
+            {k: v[:n_train] for k, v in ds._data.items()},
+            ds._label[:n_train],
+            ds.batch_size,
+        )
+        test = DeviceData.from_numpy(
+            {k: v[ds._n_train :] for k, v in ds._data.items()},
+            ds._label[ds._n_train :],
+            ds.batch_size,
+        )
+        result = trainer.fit_device(
+            train, test, epochs=args.epochs,
+            shuffle_seed=args.seed, early_stopping_patience=3,
+        )
     final = result["history"][-1]
     print(
         f"final: auc={final['auc']:.4f} precision={final['precision']:.4f} "

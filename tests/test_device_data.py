@@ -1,0 +1,85 @@
+import numpy as np
+import optax
+import pytest
+
+from deep_recommenders_tpu.datasets import MovielensRanking
+from deep_recommenders_tpu.models.ranking import DeepFM
+from deep_recommenders_tpu.training import Trainer
+from deep_recommenders_tpu.training.data import DeviceData
+
+
+@pytest.fixture(scope="module")
+def setup():
+    ds = MovielensRanking(batch_size=128, num_ratings=4000, seed=1)
+    n_train = ds.train_steps_per_epoch * ds.batch_size
+    train = DeviceData.from_numpy(
+        {k: v[:n_train] for k, v in ds._data.items()},
+        ds._label[:n_train], ds.batch_size,
+    )
+    test = DeviceData.from_numpy(
+        {k: v[ds._n_train:] for k, v in ds._data.items()},
+        ds._label[ds._n_train:], ds.batch_size,
+    )
+    return ds, train, test
+
+
+def test_device_data_shapes(setup):
+    ds, train, _ = setup
+    assert train.steps_per_epoch == ds.train_steps_per_epoch
+    perm = train.permutation(0, 0)
+    assert perm.shape[0] == train.steps_per_epoch * 128
+    batch, labels = train.gather(perm[:128])
+    assert labels.shape == (128, 1)
+    assert batch["user_id"].shape == (128,)
+    # Shuffles differ by epoch, same multiset.
+    p0 = np.asarray(train.permutation(7, 0))
+    p1 = np.asarray(train.permutation(7, 1))
+    assert not np.array_equal(p0, p1)
+    assert sorted(p0) == sorted(p1)
+
+
+def test_fit_device_learns_and_matches_streaming_quality(setup):
+    ds, train, test = setup
+    model = DeepFM(ds.feature_specs, embedding_dim=8, hidden=(16,))
+    trainer = Trainer(model, optax.adam(1e-2))
+    result = trainer.fit_device(
+        train, test, epochs=3, shuffle_seed=0, verbose=False
+    )
+    assert result["history"][-1]["auc"] > 0.6
+    assert result["examples_per_sec"] > 0
+
+
+def test_fit_device_checkpoint_resume(setup, tmp_path):
+    ds, train, test = setup
+    model = DeepFM(ds.feature_specs, embedding_dim=8, hidden=(16,))
+    ckpt = str(tmp_path / "ckpts")
+    t1 = Trainer(model, optax.adam(1e-2))
+    r1 = t1.fit_device(
+        train, None, epochs=2, shuffle_seed=0,
+        checkpoint_dir=ckpt, verbose=False,
+    )
+    # A fresh trainer resumes from the saved epoch-1 state and continues.
+    t2 = Trainer(model, optax.adam(1e-2))
+    r2 = t2.fit_device(
+        train, None, epochs=3, shuffle_seed=0,
+        checkpoint_dir=ckpt, verbose=False,
+    )
+    # Resumed run only trains epoch 2.
+    assert [h["epoch"] for h in r2["history"]] == [2]
+    # Continuing training from the restored state keeps improving (or at
+    # least produces a valid state).
+    assert np.isfinite(r2["history"][-1]["loss"])
+
+
+def test_fit_device_keep_checkpoint_max(setup, tmp_path):
+    import os
+
+    ds, train, _ = setup
+    model = DeepFM(ds.feature_specs, embedding_dim=8, hidden=(16,))
+    ckpt = str(tmp_path / "ck")
+    Trainer(model, optax.adam(1e-2)).fit_device(
+        train, None, epochs=5, shuffle_seed=0,
+        checkpoint_dir=ckpt, keep_checkpoint_max=2, verbose=False,
+    )
+    kept = sorted(os.listdir(ckpt))
+    assert kept == ["step_3", "step_4"]
