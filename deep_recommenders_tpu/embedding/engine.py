@@ -23,7 +23,7 @@ TPU-first design:
 
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -53,16 +53,27 @@ class EmbeddingCollection(nn.Module):
     (sum_of_cardinalities, dim). Multi-hot features (spec.max_len > 1) are
     combined (mean/sum) with their padding weights before stacking, so every
     feature contributes exactly one D-vector per example.
+
+    When ``mesh`` is set, lookups go through the explicit shard_map exchange
+    (embedding/sharded.py): local row gather + psum over the "model" axis,
+    with the multi-hot combiner fused before the collective. Without a mesh,
+    plain gathers + a GSPMD sharding constraint are used.
     """
 
     specs: Tuple[Feature, ...]
     dim: int
     param_dtype: jnp.dtype = jnp.float32
     shard: bool = True  # constrain the fused table to P("model", None)
+    mesh: Optional[object] = None  # jax.sharding.Mesh for the explicit path
 
     def setup(self):
         offs, total = _offsets(self.specs)
         self._feature_offsets = offs
+        if self.mesh is not None:
+            # Equal row shards: pad the fused vocab to a multiple of the
+            # model-axis size (padding rows are never addressed).
+            n_model = self.mesh.shape.get("model", 1)
+            total = -(-total // n_model) * n_model
         self.total_vocab = total
         self.table = self.param(
             "table",
@@ -79,19 +90,36 @@ class EmbeddingCollection(nn.Module):
 
     def __call__(self, batch: Dict[str, jax.Array]) -> jax.Array:
         """batch: {name: (B,) or (B, L) int32 ids, name__wt: (B, L) f32}."""
+        if self.mesh is not None:
+            from deep_recommenders_tpu.embedding.sharded import (
+                sharded_embedding_bag,
+                sharded_lookup,
+            )
+
         per_feature = []
         for spec, off in zip(self.specs, self._feature_offsets):
             ids = batch[spec.name] + off
             if spec.is_multi:
-                vecs = self._lookup(ids)  # (B, L, D)
                 wt = batch[spec.name + WEIGHT_SUFFIX]  # (B, L)
-                summed = jnp.einsum("bld,bl->bd", vecs, wt)
-                if spec.combiner == "mean":
-                    denom = jnp.maximum(wt.sum(-1, keepdims=True), 1.0)
-                    summed = summed / denom
+                if self.mesh is not None:
+                    summed = sharded_embedding_bag(
+                        self.table, ids, wt, self.mesh,
+                        combiner=spec.combiner,
+                    )
+                else:
+                    vecs = self._lookup(ids)  # (B, L, D)
+                    summed = jnp.einsum("bld,bl->bd", vecs, wt)
+                    if spec.combiner == "mean":
+                        denom = jnp.maximum(wt.sum(-1, keepdims=True), 1.0)
+                        summed = summed / denom
                 per_feature.append(summed)
             else:
-                per_feature.append(self._lookup(ids))  # (B, D)
+                if self.mesh is not None:
+                    per_feature.append(
+                        sharded_lookup(self.table, ids, self.mesh)
+                    )
+                else:
+                    per_feature.append(self._lookup(ids))  # (B, D)
         stacked = jnp.stack(per_feature, axis=1)  # (B, F, D)
         return with_sharding(stacked, P(DATA_AXIS, None, None))
 

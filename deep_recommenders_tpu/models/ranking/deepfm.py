@@ -29,10 +29,15 @@ class DeepFM(nn.Module):
     embedding_dim: int = 16
     hidden: Tuple[int, ...] = (256, 32)
     dropout: float = 0.0
+    # Optional jax.sharding.Mesh: routes embedding lookups through the
+    # explicit shard_map exchange (row-sharded table over "model").
+    mesh: object = None
 
     def setup(self):
         self.linear = LinearTerms(self.specs)
-        self.embeddings = EmbeddingCollection(self.specs, self.embedding_dim)
+        self.embeddings = EmbeddingCollection(
+            self.specs, self.embedding_dim, mesh=self.mesh
+        )
         self.deep = MLP(
             self.hidden, output_dim=1,
             dropout=self.dropout if self.dropout else None,

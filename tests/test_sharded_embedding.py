@@ -1,0 +1,134 @@
+"""Explicit shard_map embedding-exchange tests on the 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from deep_recommenders_tpu.datasets import MovielensRanking
+from deep_recommenders_tpu.embedding.engine import EmbeddingCollection
+from deep_recommenders_tpu.embedding.sharded import (
+    sharded_embedding_bag,
+    sharded_lookup,
+)
+from deep_recommenders_tpu.features import Feature
+from deep_recommenders_tpu.models.ranking import DeepFM
+from deep_recommenders_tpu.parallel import MeshConfig, create_mesh, shard_batch
+from deep_recommenders_tpu.training import Trainer
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return create_mesh(MeshConfig(data=2, model=4))
+
+
+def test_sharded_lookup_matches_dense(mesh, rng):
+    v, d, b = 64, 8, 16
+    table = jnp.asarray(rng.normal(size=(v, d)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, v, b))
+    out = sharded_lookup(table, ids, mesh)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(table)[np.asarray(ids)], rtol=1e-6
+    )
+    # 2-D ids (bags).
+    ids2 = jnp.asarray(rng.integers(0, v, (b, 3)))
+    out2 = sharded_lookup(table, ids2, mesh)
+    np.testing.assert_allclose(
+        np.asarray(out2), np.asarray(table)[np.asarray(ids2)], rtol=1e-6
+    )
+
+
+def test_sharded_lookup_gradient_is_local_scatter(mesh, rng):
+    v, d, b = 32, 4, 8
+    table = jnp.asarray(rng.normal(size=(v, d)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, v, b))
+
+    def loss(t):
+        return jnp.sum(sharded_lookup(t, ids, mesh) ** 2)
+
+    g = jax.grad(loss)(table)
+    # Dense equivalent.
+    def dense_loss(t):
+        return jnp.sum(jnp.take(t, ids, axis=0) ** 2)
+
+    g_dense = jax.grad(dense_loss)(table)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_dense), rtol=1e-5)
+
+
+def test_sharded_bag_matches_dense(mesh, rng):
+    v, d, b, l = 40, 8, 16, 5
+    table = jnp.asarray(rng.normal(size=(v, d)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, v, (b, l)))
+    wt = jnp.asarray((rng.random((b, l)) < 0.7).astype(np.float32))
+    for combiner in ("sum", "mean"):
+        out = sharded_embedding_bag(table, ids, wt, mesh, combiner=combiner)
+        dense = np.einsum(
+            "bld,bl->bd", np.asarray(table)[np.asarray(ids)], np.asarray(wt)
+        )
+        if combiner == "mean":
+            dense /= np.maximum(np.asarray(wt).sum(-1, keepdims=True), 1.0)
+        np.testing.assert_allclose(np.asarray(out), dense, rtol=1e-5)
+
+
+def test_embedding_collection_explicit_mesh_matches_dense(mesh, rng):
+    specs = (
+        Feature("a", hash_buckets=30),
+        Feature("b", vocab=tuple(range(5))),
+        Feature("m", vocab=tuple(range(7)), max_len=3),
+    )
+    batch = {
+        "a": rng.integers(0, 30, 16).astype(np.int32),
+        "b": rng.integers(0, 6, 16).astype(np.int32),
+        "m": rng.integers(0, 8, (16, 3)).astype(np.int32),
+        "m__wt": (rng.random((16, 3)) < 0.8).astype(np.float32),
+    }
+    dense = EmbeddingCollection(specs, dim=8, mesh=None)
+    sharded = EmbeddingCollection(specs, dim=8, mesh=mesh)
+    params = dense.init(jax.random.PRNGKey(0), batch)
+    out_dense = dense.apply(params, batch)
+    # The sharded module pads the vocab to a multiple of |model|=4; graft the
+    # dense table into the padded one.
+    sh_params = sharded.init(jax.random.PRNGKey(0), batch)
+    tbl = np.array(sh_params["params"]["table"])  # writable copy
+    dense_tbl = np.asarray(params["params"]["table"])
+    tbl[: dense_tbl.shape[0]] = dense_tbl
+    sh_params = {"params": {"table": jnp.asarray(tbl)}}
+    out_sharded = sharded.apply(sh_params, batch)
+    np.testing.assert_allclose(
+        np.asarray(out_sharded), np.asarray(out_dense), rtol=1e-5
+    )
+
+
+def test_deepfm_trains_with_explicit_sharded_embeddings(mesh):
+    ds = MovielensRanking(batch_size=64, num_ratings=2000, seed=3)
+
+    class ShardedDeepFM(DeepFM):
+        def setup(self):
+            super().setup()
+            # Swap the embedding collection for the explicit-mesh variant.
+            self.embeddings = EmbeddingCollection(
+                self.specs, self.embedding_dim, mesh=mesh,
+                name="embeddings_sharded",
+            )
+
+    model = ShardedDeepFM(ds.feature_specs, embedding_dim=8, hidden=(16,))
+    trainer = Trainer(model, optax.adam(1e-2), mesh=mesh, seed=0)
+    batch, labels = next(iter(ds.train_batches()))
+    b = shard_batch(batch, mesh)
+    l = shard_batch(labels, mesh)
+    state = trainer.init(b)
+    # Place the fused table row-sharded over "model".
+    from deep_recommenders_tpu.parallel import table_sharding
+
+    tbl = state.params["params"]["embeddings_sharded"]["table"]
+    state.params["params"]["embeddings_sharded"]["table"] = jax.device_put(
+        tbl, table_sharding(mesh)
+    )
+    state.opt_state = trainer.optimizer.init(state.params)
+    losses = []
+    for _ in range(5):
+        state, loss = trainer.train_step(state, b, l)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
