@@ -76,23 +76,55 @@ def load_ml1m(datadir: str, seed: int = 42) -> Dict[str, np.ndarray]:
     movies = _load_dat(
         os.path.join(datadir, "movies.dat"), ["MovieID", "Title", "Genres"]
     )
-    uid, mid, rating, ts = [], [], [], []
-    gender, age, occ, genres = [], [], [], []
-    with open(
-        os.path.join(datadir, "ratings.dat"), "r", encoding="unicode_escape"
-    ) as f:
-        for line in f:
-            u, m, r, t = line.strip().split("::")
-            uid.append(u)
-            mid.append(m)
-            rating.append(int(r))
-            ts.append(int(t))
-            urow, mrow = users[u], movies[m]
-            gender.append(urow["Gender"])
-            age.append(int(urow["Age"]))
-            occ.append(int(urow["Occupation"]))
-            genres.append(tuple(mrow["Genres"].split("|")))
-    n = len(uid)
+    ratings_path = os.path.join(datadir, "ratings.dat")
+    from deep_recommenders_tpu import native
+
+    parsed = (
+        native.parse_ml1m_ratings(ratings_path)
+        if native.available()
+        else None
+    )
+    if parsed is not None:
+        # Native parse + vectorized attribute gather by integer id.
+        uid_i, mid_i, rating_arr, ts_arr = parsed
+        max_u = int(uid_i.max()) + 1
+        max_m = int(mid_i.max()) + 1
+        u_gender = np.empty(max_u, dtype=object)
+        u_age = np.zeros(max_u, np.int64)
+        u_occ = np.zeros(max_u, np.int64)
+        for k, row in users.items():
+            i = int(k)
+            u_gender[i] = row["Gender"]
+            u_age[i] = int(row["Age"])
+            u_occ[i] = int(row["Occupation"])
+        m_genres = np.empty(max_m, dtype=object)
+        for k, row in movies.items():
+            m_genres[int(k)] = tuple(row["Genres"].split("|"))
+        uid = np.char.mod("%d", uid_i).astype(object)
+        mid = np.char.mod("%d", mid_i).astype(object)
+        rating = rating_arr
+        ts = ts_arr
+        gender = u_gender[uid_i]
+        age = u_age[uid_i]
+        occ = u_occ[uid_i]
+        genres = m_genres[mid_i]
+        n = len(uid)
+    else:
+        uid, mid, rating, ts = [], [], [], []
+        gender, age, occ, genres = [], [], [], []
+        with open(ratings_path, "r", encoding="unicode_escape") as f:
+            for line in f:
+                u, m, r, t = line.strip().split("::")
+                uid.append(u)
+                mid.append(m)
+                rating.append(int(r))
+                ts.append(int(t))
+                urow, mrow = users[u], movies[m]
+                gender.append(urow["Gender"])
+                age.append(int(urow["Age"]))
+                occ.append(int(urow["Occupation"]))
+                genres.append(tuple(mrow["Genres"].split("|")))
+        n = len(uid)
     rng = np.random.default_rng(seed)
     perm = rng.permutation(n)
 
@@ -217,25 +249,56 @@ class MovielensRanking:
         default_factory=default_movielens_features
     )
 
-    def __post_init__(self):
-        if self.datadir and os.path.exists(
-            os.path.join(self.datadir, "ratings.dat")
-        ):
-            raw = load_ml1m(self.datadir, seed=self.seed)
-        else:
-            raw = synthesize_ml1m(self.num_ratings, seed=self.seed)
-        encoder = FeatureEncoder(self.features)
-        self._data = encoder.encode(
-            {
-                "user_id": raw["UserID"],
-                "user_gender": raw["Gender"],
-                "user_age": raw["Age"],
-                "user_occupation": raw["Occupation"],
-                "movie_id": raw["MovieID"],
-                "movie_genres": raw["Genres"],
-            }
+    cache_dir: Optional[str] = dataclasses.field(
+        default_factory=lambda: os.environ.get(
+            "DRT_CACHE_DIR",
+            os.path.join(os.path.dirname(__file__), "..", "..", ".cache"),
         )
-        self._label = (raw["Rating"] > 3).astype(np.float32)[:, None]
+    )
+
+    def __post_init__(self):
+        cache_path = None
+        if self.cache_dir:
+            import hashlib
+
+            spec_key = hashlib.md5(
+                repr(
+                    (self.features, self.num_ratings, self.seed, self.datadir)
+                ).encode()
+            ).hexdigest()[:12]
+            cache_path = os.path.join(
+                self.cache_dir, f"movielens_{spec_key}.npz"
+            )
+        if cache_path and os.path.exists(cache_path):
+            with np.load(cache_path) as f:
+                self._data = {
+                    k: f[k] for k in f.files if k != "__label__"
+                }
+                self._label = f["__label__"]
+        else:
+            if self.datadir and os.path.exists(
+                os.path.join(self.datadir, "ratings.dat")
+            ):
+                raw = load_ml1m(self.datadir, seed=self.seed)
+            else:
+                raw = synthesize_ml1m(self.num_ratings, seed=self.seed)
+            encoder = FeatureEncoder(self.features)
+            self._data = encoder.encode(
+                {
+                    "user_id": raw["UserID"],
+                    "user_gender": raw["Gender"],
+                    "user_age": raw["Age"],
+                    "user_occupation": raw["Occupation"],
+                    "movie_id": raw["MovieID"],
+                    "movie_genres": raw["Genres"],
+                }
+            )
+            self._label = (raw["Rating"] > 3).astype(np.float32)[:, None]
+            if cache_path:
+                os.makedirs(self.cache_dir, exist_ok=True)
+                np.savez(
+                    cache_path, __label__=self._label, **self._data
+                )
         n = len(self._label)
         self._n_train = int(n * self.train_size)
         self._n = n

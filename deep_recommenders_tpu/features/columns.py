@@ -42,7 +42,16 @@ WEIGHT_SUFFIX = "__wt"
 
 
 def crc32_hash_bucket(values: Sequence, num_buckets: int) -> np.ndarray:
-    """Deterministic hash bucketing of arbitrary values (via str encoding)."""
+    """Deterministic hash bucketing of arbitrary values (via str encoding).
+
+    Large batches route through the native C++ kernel (native/fastetl.cpp)
+    when built; the Python loop is the bit-identical fallback.
+    """
+    if len(values) > 512:
+        from deep_recommenders_tpu import native
+
+        if native.available():
+            return native.crc32_bucket(values, num_buckets)
     out = np.empty(len(values), dtype=np.int32)
     for i, v in enumerate(values):
         if isinstance(v, bytes):
@@ -95,29 +104,50 @@ class Feature:
     def is_multi(self) -> bool:
         return self.max_len > 1
 
+    def _encode_values(self, values: Sequence) -> np.ndarray:
+        if self.vocab is not None:
+            return vocab_lookup(values, self.vocab)
+        return crc32_hash_bucket(values, self.hash_buckets)
+
     def encode(self, values: Sequence) -> Dict[str, np.ndarray]:
-        """Encode one column of raw values into the ID-tensor dict entries."""
+        """Encode one column of raw values into the ID-tensor dict entries.
+
+        Dedup-then-gather: a 1M-row corpus has only thousands of distinct
+        users/movies/bags, so the hash/vocab transform runs once per UNIQUE
+        value and a vectorized take fans it back out — ~100x faster than
+        per-row Python loops on MovieLens-scale columns.
+        """
         if not self.is_multi:
-            if self.vocab is not None:
-                ids = vocab_lookup(values, self.vocab)
-            else:
-                ids = crc32_hash_bucket(values, self.hash_buckets)
-            return {self.name: ids}
-        # Multi-valued bag: values is a sequence of sequences.
-        n = len(values)
-        ids = np.zeros((n, self.max_len), dtype=np.int32)
-        wt = np.zeros((n, self.max_len), dtype=np.float32)
+            arr = np.asarray(values, dtype=object)
+            uniques, inverse = np.unique(arr, return_inverse=True)
+            encoded = self._encode_values(list(uniques))
+            return {self.name: encoded[inverse].astype(np.int32)}
+        # Multi-valued bag: dedup by bag tuple.
+        index_of: Dict[tuple, int] = {}
+        inverse = np.empty(len(values), dtype=np.int64)
+        unique_bags = []
         for i, bag in enumerate(values):
+            key = tuple(bag)
+            slot = index_of.get(key)
+            if slot is None:
+                slot = len(unique_bags)
+                index_of[key] = slot
+                unique_bags.append(key)
+            inverse[i] = slot
+        u = len(unique_bags)
+        ids_u = np.zeros((u, self.max_len), dtype=np.int32)
+        wt_u = np.zeros((u, self.max_len), dtype=np.float32)
+        for i, bag in enumerate(unique_bags):
             bag = list(bag)[: self.max_len]
             if not bag:
                 continue
-            if self.vocab is not None:
-                row = vocab_lookup(bag, self.vocab)
-            else:
-                row = crc32_hash_bucket(bag, self.hash_buckets)
-            ids[i, : len(row)] = row
-            wt[i, : len(row)] = 1.0
-        return {self.name: ids, self.name + WEIGHT_SUFFIX: wt}
+            row = self._encode_values(bag)
+            ids_u[i, : len(row)] = row
+            wt_u[i, : len(row)] = 1.0
+        return {
+            self.name: ids_u[inverse],
+            self.name + WEIGHT_SUFFIX: wt_u[inverse],
+        }
 
 
 @dataclasses.dataclass(frozen=True)
