@@ -1,3 +1,6 @@
+from deep_recommenders_tpu.parallel.distributed import (
+    initialize as initialize_distributed,
+)
 from deep_recommenders_tpu.parallel.mesh import (
     MeshConfig,
     create_mesh,
