@@ -1,3 +1,4 @@
+from deep_recommenders_tpu.models.retrieval.ann import IVF, ApproxTopK, kmeans
 from deep_recommenders_tpu.models.retrieval.factorized_top_k import (
     BruteForce,
     FactorizedTopK,

@@ -1,0 +1,255 @@
+"""Approximate nearest-neighbor (MIPS) indexes, TPU-native.
+
+Parity target: the reference's ``Faiss`` index
+(ref deep_recommenders/keras/models/retrieval/factorized_top_k.py:337-461),
+which wraps a C++ ``faiss.IndexIVFFlat`` (IVF coarse quantizer, nlist/nprobe,
+optional L2 normalization) behind a jit-breaking ``tf.py_function``.
+
+TPU-first replacements, both pure JAX (jittable, shardable, differentiable
+through the scoring path):
+
+- ``ApproxTopK`` — exact scoring matmul + ``jax.lax.approx_max_k``, the TPU
+  hardware-accelerated approximate top-k (bitonic partial reduction with a
+  recall target). The right default on TPU: the MXU makes exhaustive scoring
+  cheap; only the top-k selection is approximated.
+- ``IVF`` — inverted-file search like faiss IVFFlat: k-means coarse
+  quantizer (Lloyd's iterations under jit), candidates bucketed by nearest
+  centroid into a padded (nlist, bucket_cap) table; queries score only the
+  ``nprobe`` nearest buckets. Reduces scoring FLOPs from O(N·D) to
+  O((nlist + nprobe·cap)·D) per query — for corpora too large for one
+  matmul. Static shapes throughout (padded buckets, masked scores), so the
+  whole search jit-compiles; nothing leaves the device.
+
+Both support ``normalize=True`` (cosine / IndexFlatIP-after-normalize
+semantics, ref :374-378, :434-436) and integer identifier remapping
+(ref :410-424: ``add_with_ids`` for int ids, gather-after-search otherwise).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deep_recommenders_tpu.models.retrieval.factorized_top_k import TopK
+
+NEG_INF = jnp.float32(-1e30)
+
+
+def _l2_normalize(x: jax.Array, eps: float = 1e-12) -> jax.Array:
+    return x / jnp.sqrt(
+        jnp.maximum(jnp.sum(x * x, axis=-1, keepdims=True), eps)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_clusters", "iters"))
+def kmeans(
+    vectors: jax.Array,
+    init_centroids: jax.Array,
+    n_clusters: int,
+    iters: int = 10,
+) -> Tuple[jax.Array, jax.Array]:
+    """Lloyd's k-means on device. Returns (centroids, assignments).
+
+    The scan body is two matmuls (assign = argmax of v·cᵀ distances,
+    update = one-hot-matmul mean) so every iteration runs on the MXU; empty
+    clusters keep their previous centroid.
+    """
+    v2 = jnp.sum(vectors * vectors, axis=1)  # (N,)
+
+    def assign(centroids):
+        c2 = jnp.sum(centroids * centroids, axis=1)  # (K,)
+        # squared L2 distance argmin == argmax(v·c - |c|²/2)
+        aff = vectors @ centroids.T - 0.5 * c2[None, :]
+        return jnp.argmin(
+            v2[:, None] - 2.0 * aff, axis=1
+        )  # (N,)
+
+    def body(centroids, _):
+        a = assign(centroids)
+        oh = jax.nn.one_hot(a, n_clusters, dtype=vectors.dtype)  # (N, K)
+        sums = oh.T @ vectors  # (K, D)
+        counts = oh.sum(axis=0)[:, None]  # (K, 1)
+        new = jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0), centroids)
+        return new, None
+
+    centroids, _ = jax.lax.scan(body, init_centroids, None, length=iters)
+    return centroids, assign(centroids)
+
+
+class ApproxTopK(TopK):
+    """Exhaustive MXU scoring + hardware ``approx_max_k`` selection.
+
+    ``recall_target`` trades selection recall for speed exactly like faiss's
+    nprobe does for scoring (ref :383-389), but keeps scoring exact — the
+    honest TPU operating point for corpora that fit in HBM.
+    """
+
+    def __init__(self, recall_target: float = 0.95,
+                 normalize: bool = False):
+        self._recall = float(recall_target)
+        self._normalize = normalize
+        self._candidates = None
+        self._identifiers = None
+        self._int_identifiers = None
+
+    def index(self, candidates, identifiers=None) -> "ApproxTopK":
+        c = jnp.asarray(candidates, jnp.float32)
+        if self._normalize:
+            c = _l2_normalize(c)
+        self._candidates = c
+        self._identifiers = None
+        self._int_identifiers = None
+        if identifiers is not None:
+            ids = np.asarray(identifiers)
+            if ids.shape[0] != c.shape[0]:
+                raise ValueError(
+                    "identifiers/candidates length mismatch: "
+                    f"{ids.shape[0]} vs {c.shape[0]}"
+                )
+            if np.issubdtype(ids.dtype, np.integer):
+                self._int_identifiers = jnp.asarray(ids)
+            else:
+                self._identifiers = ids
+        return self
+
+    def __call__(self, queries, k: int = 10):
+        if self._candidates is None:
+            raise ValueError("index() must be called before querying")
+        q = jnp.asarray(queries, jnp.float32)
+        if self._normalize:
+            q = _l2_normalize(q)
+        scores = q @ self._candidates.T
+        s, i = jax.lax.approx_max_k(
+            scores, min(k, scores.shape[-1]), recall_target=self._recall
+        )
+        if self._int_identifiers is not None:
+            return s, jnp.take(self._int_identifiers, i)
+        if self._identifiers is not None:
+            return s, np.take(self._identifiers, np.asarray(i), axis=0)
+        return s, i
+
+
+class IVF(TopK):
+    """Inverted-file ANN index (faiss IVFFlat semantics, ref :337-461).
+
+    index(): k-means over the corpus -> ``nlist`` centroids; each candidate
+    goes in its nearest centroid's bucket. Buckets are padded to the max
+    bucket size so the search is all static-shape gathers.
+
+    query(): score centroids (one small matmul), take top ``nprobe``
+    buckets, gather their candidates -> (B, nprobe·cap, D), masked scores,
+    top-k. Entirely on device, jit-compiled per (k, B) shape.
+    """
+
+    def __init__(self, nlist: int = 64, nprobe: int = 8,
+                 normalize: bool = False, kmeans_iters: int = 10,
+                 seed: int = 0):
+        if nprobe > nlist:
+            raise ValueError(f"nprobe ({nprobe}) must be <= nlist ({nlist})")
+        self._nlist = int(nlist)
+        self._nprobe = int(nprobe)
+        self._normalize = normalize
+        self._iters = int(kmeans_iters)
+        self._seed = seed
+        self._centroids = None
+        self._buckets = None  # (nlist, cap) int32 rows into corpus, -1 pad
+        self._bucket_mask = None  # (nlist, cap) bool
+        self._candidates = None  # (N, D)
+        self._identifiers = None
+        self._int_identifiers = None
+
+    def index(self, candidates, identifiers=None) -> "IVF":
+        c = jnp.asarray(candidates, jnp.float32)
+        if self._normalize:
+            c = _l2_normalize(c)
+        n = c.shape[0]
+        if n < self._nlist:
+            raise ValueError(
+                f"need at least nlist={self._nlist} candidates, got {n}"
+            )
+        rng = np.random.default_rng(self._seed)
+        init = c[jnp.asarray(rng.choice(n, self._nlist, replace=False))]
+        centroids, assign = kmeans(c, init, self._nlist, self._iters)
+        # Bucket assembly host-side (index build is offline; search is hot).
+        assign_np = np.asarray(assign)
+        order = np.argsort(assign_np, kind="stable")
+        counts = np.bincount(assign_np, minlength=self._nlist)
+        cap = max(int(counts.max()), 1)
+        buckets = np.full((self._nlist, cap), -1, np.int32)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        for cl in range(self._nlist):
+            rows = order[starts[cl] : starts[cl] + counts[cl]]
+            buckets[cl, : counts[cl]] = rows
+        self._centroids = centroids
+        self._buckets = jnp.asarray(buckets)
+        self._bucket_mask = self._buckets >= 0
+        self._candidates = c
+        self._identifiers = None
+        self._int_identifiers = None
+        if identifiers is not None:
+            ids = np.asarray(identifiers)
+            if ids.shape[0] != n:
+                raise ValueError(
+                    "identifiers/candidates length mismatch: "
+                    f"{ids.shape[0]} vs {n}"
+                )
+            if np.issubdtype(ids.dtype, np.integer):
+                self._int_identifiers = jnp.asarray(ids)
+            else:
+                self._identifiers = ids
+        self._search = jax.jit(
+            functools.partial(self._search_impl), static_argnames=("k",)
+        )
+        return self
+
+    def _search_impl(self, queries, k: int):
+        # 1. coarse quantizer: top-nprobe centroids per query
+        cs = queries @ self._centroids.T  # (B, nlist)
+        _, probe = jax.lax.top_k(cs, self._nprobe)  # (B, nprobe)
+        # 2. gather probed buckets -> rows (B, nprobe*cap)
+        rows = jnp.take(self._buckets, probe, axis=0).reshape(
+            queries.shape[0], -1
+        )
+        mask = jnp.take(self._bucket_mask, probe, axis=0).reshape(
+            queries.shape[0], -1
+        )
+        safe_rows = jnp.maximum(rows, 0)
+        # 3. gather candidate vectors and score
+        vecs = jnp.take(self._candidates, safe_rows, axis=0)  # (B, P, D)
+        scores = jnp.einsum("bpd,bd->bp", vecs, queries)
+        scores = jnp.where(mask, scores, NEG_INF)
+        # 4. top-k among probed candidates
+        kk = min(k, scores.shape[1])
+        s, local = jax.lax.top_k(scores, kk)
+        i = jnp.take_along_axis(safe_rows, local, axis=1)
+        i = jnp.where(s > NEG_INF / 2, i, -1)
+        if kk < k:  # fewer probed candidates than k: pad
+            pad = k - kk
+            s = jnp.concatenate(
+                [s, jnp.full((s.shape[0], pad), NEG_INF, s.dtype)], axis=1
+            )
+            i = jnp.concatenate(
+                [i, jnp.full((i.shape[0], pad), -1, i.dtype)], axis=1
+            )
+        return s, i
+
+    def __call__(self, queries, k: int = 10):
+        if self._candidates is None:
+            raise ValueError("index() must be called before querying")
+        q = jnp.asarray(queries, jnp.float32)
+        if self._normalize:
+            q = _l2_normalize(q)
+        s, i = self._search(q, k=k)
+        if self._int_identifiers is not None:
+            safe = jnp.maximum(i, 0)
+            mapped = jnp.take(self._int_identifiers, safe)
+            return s, jnp.where(i >= 0, mapped, -1)
+        if self._identifiers is not None:
+            return s, np.take(
+                self._identifiers, np.maximum(np.asarray(i), 0), axis=0
+            )
+        return s, i
