@@ -46,6 +46,114 @@ def _offsets(specs: Sequence[Feature]) -> Tuple[Tuple[int, ...], int]:
     return tuple(offs), total
 
 
+# Features with at most this many buckets are looked up as one-hot matmuls
+# (MXU) instead of gathers. The win is in the BACKWARD pass: a gather's
+# gradient is a scatter-add, and scatter with heavily-colliding indices (e.g.
+# 8192x6 genre ids into 18 rows) serializes on TPU (~500us measured at batch
+# 8192), while the transposed one-hot matmul is a dense MXU reduction (~90us).
+SMALL_VOCAB_MAX = 256
+
+
+def _sum_bag(spec, batch: Dict[str, jax.Array], dtype) -> jax.Array:
+    """(B, cardinality) bag vector with SUM-combiner semantics.
+
+    Single-valued -> plain one-hot row; multi-valued -> weighted sum of the
+    bag's one-hots (combining is thereby fused into the lookup matmul: the
+    (B, V) bag times the (V, D) table IS the combined embedding).
+    """
+    ids = batch[spec.name]
+    card = spec.cardinality
+    if spec.is_multi:
+        wt = batch[spec.name + WEIGHT_SUFFIX]
+        oh = jax.nn.one_hot(ids, card, dtype=dtype)  # (B, L, V)
+        return jnp.einsum("blv,bl->bv", oh, wt.astype(dtype))
+    return jax.nn.one_hot(ids, card, dtype=dtype)
+
+
+def _mean_denom(spec, batch: Dict[str, jax.Array], b: int) -> jax.Array:
+    """(B,) divisor turning a SUM-combined bag into the spec's combiner."""
+    if spec.is_multi and spec.combiner == "mean":
+        wt = batch[spec.name + WEIGHT_SUFFIX]
+        return jnp.maximum(wt.sum(-1), 1.0)
+    return jnp.ones((b,), jnp.float32)
+
+
+def fused_rows(
+    table: jax.Array,
+    specs: Sequence[Feature],
+    offsets: Sequence[int],
+    batch: Dict[str, jax.Array],
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-feature table-row bundles with the combiner fused in.
+
+    The TPU-shaped replacement for a per-feature gather loop. Features are
+    routed by cardinality:
+
+    - small vocab (<= SMALL_VOCAB_MAX): ALL such features fold into ONE
+      block-diagonal matmul — concat of per-feature bag vectors (B, sum_V)
+      times block_diag(table slices) (sum_V, n_small*C). No gathers, no
+      scatter-add in the backward pass; everything rides the MXU.
+    - large vocab, single-valued: ONE batched row gather (B, n_big) ->
+      (B, n_big, C) (one scatter-add in backward instead of n_big).
+    - large vocab, multi-valued: per-feature gather + weighted reduction.
+
+    Returns ``(rows, denom)``: rows (B, F, C) holding each feature's
+    SUM-combined table rows in spec order, and denom (B, F, 1) — the
+    mean-combiner divisor (1.0 where the combiner is sum or the feature is
+    single-valued). Callers divide or not depending on their semantics
+    (embeddings honor spec.combiner; first-order linear terms always sum,
+    matching tf.feature_column.linear_model).
+    """
+    b = batch[specs[0].name].shape[0]
+    c = table.shape[1]
+    parts: Dict[int, jax.Array] = {}
+
+    small = [
+        (i, s, o)
+        for i, (s, o) in enumerate(zip(specs, offsets))
+        if s.cardinality <= SMALL_VOCAB_MAX
+    ]
+    big_single = [
+        (i, s, o)
+        for i, (s, o) in enumerate(zip(specs, offsets))
+        if s.cardinality > SMALL_VOCAB_MAX and not s.is_multi
+    ]
+    big_multi = [
+        (i, s, o)
+        for i, (s, o) in enumerate(zip(specs, offsets))
+        if s.cardinality > SMALL_VOCAB_MAX and s.is_multi
+    ]
+
+    if small:
+        bags = jnp.concatenate(
+            [_sum_bag(s, batch, table.dtype) for _, s, _ in small], axis=-1
+        )  # (B, sum_V)
+        blocks = [table[o : o + s.cardinality] for _, s, o in small]
+        block = jax.scipy.linalg.block_diag(*blocks)  # (sum_V, n*C)
+        out = (bags @ block).reshape(b, len(small), c)
+        for slot, (i, _, _) in enumerate(small):
+            parts[i] = out[:, slot]
+
+    if big_single:
+        ids = jnp.stack(
+            [batch[s.name] + o for _, s, o in big_single], axis=1
+        )  # (B, n_big)
+        rows = jnp.take(table, ids, axis=0)  # (B, n_big, C)
+        for slot, (i, _, _) in enumerate(big_single):
+            parts[i] = rows[:, slot]
+
+    for i, s, o in big_multi:
+        vecs = jnp.take(table, batch[s.name] + o, axis=0)  # (B, L, C)
+        wt = batch[s.name + WEIGHT_SUFFIX]
+        parts[i] = jnp.einsum("blc,bl->bc", vecs, wt.astype(vecs.dtype))
+
+    rows = jnp.stack([parts[i] for i in range(len(specs))], axis=1)
+    denom = jnp.stack(
+        [_mean_denom(s, batch, b) for s in specs], axis=1
+    )[..., None]  # (B, F, 1)
+    return rows, denom
+
+
 class EmbeddingCollection(nn.Module):
     """Embeds a set of categorical features into a stacked (B, F, D) tensor.
 
@@ -96,31 +204,30 @@ class EmbeddingCollection(nn.Module):
                 sharded_lookup,
             )
 
-        per_feature = []
-        for spec, off in zip(self.specs, self._feature_offsets):
-            ids = batch[spec.name] + off
-            if spec.is_multi:
-                wt = batch[spec.name + WEIGHT_SUFFIX]  # (B, L)
-                if self.mesh is not None:
+            per_feature = []
+            for spec, off in zip(self.specs, self._feature_offsets):
+                ids = batch[spec.name] + off
+                if spec.is_multi:
+                    wt = batch[spec.name + WEIGHT_SUFFIX]  # (B, L)
                     summed = sharded_embedding_bag(
                         self.table, ids, wt, self.mesh,
                         combiner=spec.combiner,
                     )
+                    per_feature.append(summed)
                 else:
-                    vecs = self._lookup(ids)  # (B, L, D)
-                    summed = jnp.einsum("bld,bl->bd", vecs, wt)
-                    if spec.combiner == "mean":
-                        denom = jnp.maximum(wt.sum(-1, keepdims=True), 1.0)
-                        summed = summed / denom
-                per_feature.append(summed)
-            else:
-                if self.mesh is not None:
                     per_feature.append(
                         sharded_lookup(self.table, ids, self.mesh)
                     )
-                else:
-                    per_feature.append(self._lookup(ids))  # (B, D)
-        stacked = jnp.stack(per_feature, axis=1)  # (B, F, D)
+            stacked = jnp.stack(per_feature, axis=1)  # (B, F, D)
+            return with_sharding(stacked, P(DATA_AXIS, None, None))
+
+        table = self.table
+        if self.shard:
+            table = with_sharding(table, P(MODEL_AXIS, None))
+        rows, denom = fused_rows(
+            table, self.specs, self._feature_offsets, batch
+        )
+        stacked = rows / denom  # (B, F, D), combiners applied
         return with_sharding(stacked, P(DATA_AXIS, None, None))
 
 
@@ -148,17 +255,61 @@ class LinearTerms(nn.Module):
             )
 
     def __call__(self, batch: Dict[str, jax.Array]) -> jax.Array:
-        out = jnp.zeros((), jnp.float32)
-        total = None
-        for spec, off in zip(self.specs, self._feature_offsets):
-            ids = batch[spec.name] + off
-            w = jnp.take(self.weights, ids, axis=0)  # (B, 1) or (B, L, 1)
-            if spec.is_multi:
-                wt = batch[spec.name + WEIGHT_SUFFIX][..., None]
-                contrib = (w * wt).sum(axis=1)  # sum combiner, like linear_model
-            else:
-                contrib = w
-            total = contrib if total is None else total + contrib
+        # SUM combiner throughout (linear_model semantics): use the raw
+        # sum-combined rows, ignore the mean denominators.
+        rows, _ = fused_rows(
+            self.weights, self.specs, self._feature_offsets, batch
+        )  # (B, F, 1)
+        total = rows[..., 0].sum(axis=1, keepdims=True)
         if self.use_bias:
             total = total + self.bias
         return total
+
+    def per_feature(self, batch: Dict[str, jax.Array]) -> jax.Array:
+        """Un-summed per-feature first-order weights (B, F) (FNN input,
+        ref estimator/models/ranking/fnn.py:76-86)."""
+        rows, _ = fused_rows(
+            self.weights, self.specs, self._feature_offsets, batch
+        )
+        return rows[..., 0]
+
+
+def fused_embedding_linear(
+    embeddings: EmbeddingCollection,
+    linear: LinearTerms,
+    batch: Dict[str, jax.Array],
+) -> Tuple[jax.Array, jax.Array]:
+    """Joint lookup of embeddings AND first-order weights in ONE table pass.
+
+    FM-family models (FM/DeepFM/FNN) gather both a D-dim embedding and a
+    scalar first-order weight for every feature. Doing those as separate
+    gathers costs two scatter-adds in the backward pass — and the (V, 1)
+    linear table has a pathological TPU layout (1 of 128 lanes used). Here the
+    linear weights ride along as column D of a concatenated (V, D+1) operand,
+    so the whole FM input is one fused_rows pass; the concat's VJP is a slice,
+    putting both gradients in a single scatter.
+
+    Returns ``(stacked, first_order)``: (B, F, D) combined embeddings (spec
+    combiners applied) and (B, F) per-feature SUM-combined linear terms
+    (callers sum + add ``linear.bias`` for the scalar wide logit, or use
+    per-feature for FNN). Requires identical specs on both modules; falls
+    back to separate passes under an explicit mesh.
+    """
+    if embeddings.specs != linear.specs:
+        raise ValueError("fused_embedding_linear requires identical specs")
+    if embeddings.mesh is not None:
+        return embeddings(batch), linear.per_feature(batch)
+    table = embeddings.table
+    if embeddings.shard:
+        table = with_sharding(table, P(MODEL_AXIS, None))
+    w = linear.weights
+    if w.shape[0] != table.shape[0]:  # mesh-padded vocab
+        w = jnp.pad(w, ((0, table.shape[0] - w.shape[0]), (0, 0)))
+    fused = jnp.concatenate([table, w.astype(table.dtype)], axis=1)
+    rows, denom = fused_rows(
+        fused, embeddings.specs, embeddings._feature_offsets, batch
+    )
+    d = embeddings.dim
+    stacked = rows[..., :d] / denom
+    first_order = rows[..., d]
+    return stacked, first_order

@@ -18,6 +18,7 @@ import jax
 from deep_recommenders_tpu.embedding.engine import (
     EmbeddingCollection,
     LinearTerms,
+    fused_embedding_linear,
 )
 from deep_recommenders_tpu.features.columns import Feature
 from deep_recommenders_tpu.models.common import MLP
@@ -44,8 +45,15 @@ class DeepFM(nn.Module):
         )
 
     def __call__(self, batch, training: bool = False) -> jax.Array:
-        first_order = self.linear(batch)
-        stacked = self.embeddings(batch)  # (B, F, D)
+        if self.mesh is None:
+            # One fused table pass for embeddings + first-order weights.
+            stacked, lin = fused_embedding_linear(
+                self.embeddings, self.linear, batch
+            )
+            first_order = lin.sum(axis=1, keepdims=True) + self.linear.bias
+        else:
+            first_order = self.linear(batch)
+            stacked = self.embeddings(batch)  # (B, F, D)
         fm_logit = fm_interaction(stacked)
         b = stacked.shape[0]
         deep_logit = self.deep(stacked.reshape(b, -1), training=training)

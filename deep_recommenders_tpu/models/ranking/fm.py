@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from deep_recommenders_tpu.embedding.engine import (
     EmbeddingCollection,
     LinearTerms,
+    fused_embedding_linear,
 )
 from deep_recommenders_tpu.features.columns import Feature
 from deep_recommenders_tpu.ops.fm import fm_interaction
@@ -66,6 +67,7 @@ class FactorizationMachine(nn.Module):
 
     def __call__(self, batch, training: bool = False) -> jax.Array:
         del training
-        first_order = self.linear(batch)
-        stacked = self.embeddings(batch)  # (B, F, D)
+        # One fused table pass for embeddings + first-order weights.
+        stacked, lin = fused_embedding_linear(self.embeddings, self.linear, batch)
+        first_order = lin.sum(axis=1, keepdims=True) + self.linear.bias
         return first_order + fm_interaction(stacked)

@@ -23,8 +23,9 @@ import jax.numpy as jnp
 from deep_recommenders_tpu.embedding.engine import (
     EmbeddingCollection,
     LinearTerms,
+    fused_embedding_linear,
 )
-from deep_recommenders_tpu.features.columns import Feature, WEIGHT_SUFFIX
+from deep_recommenders_tpu.features.columns import Feature
 from deep_recommenders_tpu.models.common import MLP
 
 
@@ -39,17 +40,11 @@ class FNN(nn.Module):
         self.deep = MLP(self.hidden, output_dim=1)
 
     def __call__(self, batch, training: bool = False) -> jax.Array:
-        # Per-feature first-order weights, gathered (not summed): (B, F).
-        per_feature_w = []
-        for spec, off in zip(self.specs, self.linear._feature_offsets):
-            ids = batch[spec.name] + off
-            w = jnp.take(self.linear.weights, ids, axis=0)
-            if spec.is_multi:
-                wt = batch[spec.name + WEIGHT_SUFFIX][..., None]
-                w = (w * wt).sum(axis=1)
-            per_feature_w.append(w[:, 0])
-        first_order = jnp.stack(per_feature_w, axis=1)  # (B, F)
-        stacked = self.embeddings(batch)  # (B, F, D)
+        # Per-feature first-order weights (B, F) + embeddings (B, F, D), in
+        # one fused table pass.
+        stacked, first_order = fused_embedding_linear(
+            self.embeddings, self.linear, batch
+        )
         b = stacked.shape[0]
         x = jnp.concatenate([first_order, stacked.reshape(b, -1)], axis=1)
         return self.deep(x, training=training)
