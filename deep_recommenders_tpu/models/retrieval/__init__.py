@@ -5,6 +5,8 @@ from deep_recommenders_tpu.models.retrieval.factorized_top_k import (
     InMemoryStreaming,
     Streaming,
     TopK,
+    load_index,
+    save_index,
 )
 from deep_recommenders_tpu.models.retrieval.gcn import GCN, GCNLayer
 from deep_recommenders_tpu.models.retrieval.two_tower import (

@@ -34,7 +34,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from deep_recommenders_tpu.models.retrieval.factorized_top_k import TopK
+from deep_recommenders_tpu.models.retrieval.factorized_top_k import (
+    TopK,
+    _identifier_state,
+)
 
 NEG_INF = jnp.float32(-1e30)
 
@@ -131,6 +134,23 @@ class ApproxTopK(TopK):
         if self._identifiers is not None:
             return s, np.take(self._identifiers, np.asarray(i), axis=0)
         return s, i
+
+    def config(self) -> dict:
+        return {"recall_target": self._recall, "normalize": self._normalize}
+
+    def state_dict(self):
+        if self._candidates is None:
+            raise ValueError("index() must be called before saving")
+        out = {"candidates": np.asarray(self._candidates)}
+        out.update(
+            _identifier_state(self._int_identifiers, self._identifiers)
+        )
+        return out
+
+    def load_state(self, state) -> "ApproxTopK":
+        # index() re-normalizes, a no-op on the saved unit vectors.
+        ids = state.get("int_identifiers", state.get("str_identifiers"))
+        return self.index(state["candidates"], ids)
 
 
 class IVF(TopK):
@@ -253,3 +273,42 @@ class IVF(TopK):
                 self._identifiers, np.maximum(np.asarray(i), 0), axis=0
             )
         return s, i
+
+    def config(self) -> dict:
+        return {
+            "nlist": self._nlist,
+            "nprobe": self._nprobe,
+            "normalize": self._normalize,
+            "kmeans_iters": self._iters,
+            "seed": self._seed,
+        }
+
+    def state_dict(self):
+        if self._candidates is None:
+            raise ValueError("index() must be called before saving")
+        out = {
+            "candidates": np.asarray(self._candidates),
+            "centroids": np.asarray(self._centroids),
+            "buckets": np.asarray(self._buckets),
+        }
+        out.update(
+            _identifier_state(self._int_identifiers, self._identifiers)
+        )
+        return out
+
+    def load_state(self, state) -> "IVF":
+        """Restore the trained quantizer exactly — no k-means re-run."""
+        self._candidates = jnp.asarray(state["candidates"])
+        self._centroids = jnp.asarray(state["centroids"])
+        self._buckets = jnp.asarray(state["buckets"])
+        self._bucket_mask = self._buckets >= 0
+        self._identifiers = None
+        self._int_identifiers = None
+        if "int_identifiers" in state:
+            self._int_identifiers = jnp.asarray(state["int_identifiers"])
+        elif "str_identifiers" in state:
+            self._identifiers = np.asarray(state["str_identifiers"])
+        self._search = jax.jit(
+            functools.partial(self._search_impl), static_argnames=("k",)
+        )
+        return self

@@ -22,7 +22,9 @@ sharded over the mesh, merge across shards) covers the scale-out case.
 
 from __future__ import annotations
 
-from typing import Callable, Iterable, Optional, Tuple
+import json
+import os
+from typing import Callable, Dict, Iterable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,9 +37,23 @@ from deep_recommenders_tpu.ops.topk import (
     top_k_scores,
 )
 
+# Registry for save_index/load_index; populated by TopK.__init_subclass__.
+_INDEX_REGISTRY: Dict[str, type] = {}
+
 
 class TopK:
-    """Base class: a queryable top-k index over candidate embeddings."""
+    """Base class: a queryable top-k index over candidate embeddings.
+
+    Persistence protocol (the reference's signature property — a built index
+    round-trips through model save/load, ref :292-311 and
+    tests/keras/test_factorized_top_k.py:51-60): subclasses implement
+    ``config()`` (constructor kwargs) and ``state_dict()``/``load_state()``
+    (numpy arrays), and ``save_index``/``load_index`` persist both.
+    """
+
+    def __init_subclass__(cls, **kwargs):
+        super().__init_subclass__(**kwargs)
+        _INDEX_REGISTRY[cls.__name__] = cls
 
     def index(self, candidates, identifiers=None) -> "TopK":
         raise NotImplementedError
@@ -49,6 +65,65 @@ class TopK:
         """Retrieve k + E, then drop excluded identifiers (ref :111-129)."""
         scores, identifiers = self(queries, k + exclusions.shape[1])
         return exclude_op(scores, identifiers, jnp.asarray(exclusions), k)
+
+    def config(self) -> dict:
+        """JSON-serializable constructor kwargs."""
+        return {}
+
+    def state_dict(self) -> Dict[str, np.ndarray]:
+        """The built index's arrays (candidates, identifiers, quantizers...)."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not support persistence"
+        )
+
+    def load_state(self, state: Dict[str, np.ndarray]) -> "TopK":
+        raise NotImplementedError(
+            f"{type(self).__name__} does not support persistence"
+        )
+
+
+def _identifier_state(int_ids, obj_ids) -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    if int_ids is not None:
+        out["int_identifiers"] = np.asarray(int_ids)
+    if obj_ids is not None:
+        # object/str arrays -> unicode dtype so np.savez stays pickle-free
+        out["str_identifiers"] = np.asarray(obj_ids).astype(np.str_)
+    return out
+
+
+def save_index(path: str, index: TopK) -> str:
+    """Persist a built index: ``config.json`` + ``state.npz`` under path."""
+    path = os.path.abspath(path)
+    os.makedirs(path, exist_ok=True)
+    state = index.state_dict()
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(
+            {"class": type(index).__name__, "config": index.config()}, f
+        )
+    np.savez(
+        os.path.join(path, "state.npz"),
+        **{k: np.asarray(v) for k, v in state.items()},
+    )
+    return path
+
+
+def load_index(path: str, query_model: Optional[Callable] = None) -> TopK:
+    """Rebuild a saved index. ``query_model`` (a callable, not serializable)
+    is re-attached here for indexes that accept one."""
+    # ann.py registers its index classes on import
+    from deep_recommenders_tpu.models.retrieval import ann  # noqa: F401
+
+    path = os.path.abspath(path)
+    with open(os.path.join(path, "config.json")) as f:
+        spec = json.load(f)
+    cls = _INDEX_REGISTRY[spec["class"]]
+    kwargs = dict(spec["config"])
+    if query_model is not None:
+        kwargs["query_model"] = query_model
+    idx = cls(**kwargs)
+    with np.load(os.path.join(path, "state.npz")) as data:
+        return idx.load_state({k: data[k] for k in data.files})
 
 
 class BruteForce(TopK):
@@ -99,6 +174,19 @@ class BruteForce(TopK):
                 self._identifiers, np.asarray(indices), axis=0
             )
         return scores, indices
+
+    def state_dict(self) -> Dict[str, np.ndarray]:
+        if self._candidates is None:
+            raise ValueError("index() must be called before saving")
+        out = {"candidates": np.asarray(self._candidates)}
+        out.update(
+            _identifier_state(self._int_identifiers, self._identifiers)
+        )
+        return out
+
+    def load_state(self, state) -> "BruteForce":
+        ids = state.get("int_identifiers", state.get("str_identifiers"))
+        return self.index(state["candidates"], ids)
 
 
 class Streaming(TopK):
@@ -172,6 +260,17 @@ class InMemoryStreaming(TopK):
         return chunked_top_k(
             jnp.asarray(queries), self._candidates, k, self._chunk_size
         )
+
+    def config(self) -> dict:
+        return {"chunk_size": self._chunk_size}
+
+    def state_dict(self) -> Dict[str, np.ndarray]:
+        if self._candidates is None:
+            raise ValueError("index() must be called before saving")
+        return {"candidates": np.asarray(self._candidates)}
+
+    def load_state(self, state) -> "InMemoryStreaming":
+        return self.index(state["candidates"])
 
 
 class FactorizedTopK:

@@ -277,3 +277,77 @@ def test_retrieval_task_options(rng):
     assert np.isfinite(float(loss))
     with pytest.raises(ValueError):
         Retrieval(remove_accidental_negatives=True)(q, c)
+
+
+# --- Index persistence (ref signature property: index survives model
+# save/load, tests/keras/test_factorized_top_k.py:37-60) -------------------
+
+@pytest.mark.parametrize("identifiers", [
+    None,
+    np.arange(100, 164, dtype=np.int64),
+    np.array([f"item_{i}" for i in range(64)]),
+], ids=["row-ids", "int-ids", "str-ids"])
+@pytest.mark.parametrize("make", [
+    lambda: BruteForce(),
+    lambda: InMemoryStreaming(chunk_size=16),
+    lambda: __import__(
+        "deep_recommenders_tpu.models.retrieval", fromlist=["ApproxTopK"]
+    ).ApproxTopK(normalize=True),
+], ids=["BruteForce", "InMemoryStreaming", "ApproxTopK"])
+def test_index_save_load_round_trip(tmp_path, rng, make, identifiers):
+    from deep_recommenders_tpu.models.retrieval import load_index, save_index
+
+    cands = rng.normal(0, 1, (64, 8)).astype(np.float32)
+    q = rng.normal(0, 1, (4, 8)).astype(np.float32)
+    idx = make()
+    if isinstance(idx, InMemoryStreaming) and identifiers is not None:
+        pytest.skip("InMemoryStreaming uses row ids only")
+    idx.index(cands, identifiers)
+    s0, i0 = idx(q, k=5)
+
+    path = save_index(str(tmp_path / "idx"), idx)
+    restored = load_index(path)
+    assert type(restored) is type(idx)
+    s1, i1 = restored(q, k=5)
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-6)
+    assert np.array_equal(np.asarray(i0), np.asarray(i1))
+
+
+def test_ivf_save_load_round_trip_no_retrain(tmp_path, rng):
+    """IVF restores its trained quantizer exactly (no k-means re-run)."""
+    from deep_recommenders_tpu.models.retrieval import (
+        IVF,
+        load_index,
+        save_index,
+    )
+
+    cands = rng.normal(0, 1, (256, 16)).astype(np.float32)
+    q = rng.normal(0, 1, (8, 16)).astype(np.float32)
+    idx = IVF(nlist=8, nprobe=4, seed=3).index(
+        cands, np.arange(1000, 1256, dtype=np.int64)
+    )
+    s0, i0 = idx(q, k=7)
+    path = save_index(str(tmp_path / "ivf"), idx)
+    restored = load_index(path)
+    np.testing.assert_array_equal(
+        np.asarray(idx._centroids), np.asarray(restored._centroids)
+    )
+    s1, i1 = restored(q, k=7)
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-6)
+    assert np.array_equal(np.asarray(i0), np.asarray(i1))
+
+
+def test_index_save_load_with_query_model(tmp_path, rng):
+    """query_model is a callable — reattached at load time."""
+    from deep_recommenders_tpu.models.retrieval import load_index, save_index
+
+    cands = rng.normal(0, 1, (32, 8)).astype(np.float32)
+    q = rng.normal(0, 1, (4, 8)).astype(np.float32)
+    qm = lambda x: x * 2.0  # noqa: E731
+    idx = BruteForce(query_model=qm).index(cands)
+    s0, i0 = idx(q, k=3)
+    path = save_index(str(tmp_path / "bfqm"), idx)
+    restored = load_index(path, query_model=qm)
+    s1, i1 = restored(q, k=3)
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-6)
+    assert np.array_equal(np.asarray(i0), np.asarray(i1))
