@@ -1,0 +1,80 @@
+"""Device-time measurement via jax.profiler traces (wall time lies through
+the remote-dispatch tunnel: ~5ms fixed per dispatch)."""
+import glob
+import os
+import shutil
+
+import jax
+import jax.numpy as jnp
+
+from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+_DIR = "/tmp/jax_trace_util"
+
+
+def device_us_per_step(step_fn, n_steps=64, carry0=None, top=0):
+    """Scan step_fn (carry, None) -> (carry, None|aux) n_steps times on
+    device, trace it, return total device-plane µs / n_steps."""
+    if carry0 is None:
+        carry0 = jnp.zeros((), jnp.int32)
+    f = jax.jit(lambda c: jax.lax.scan(step_fn, c, None, length=n_steps))
+    out = f(carry0)
+    jax.block_until_ready(out)
+    shutil.rmtree(_DIR, ignore_errors=True)
+    with jax.profiler.trace(_DIR):
+        out = f(carry0)
+        jax.block_until_ready(out)
+    files = glob.glob(f"{_DIR}/**/*.xplane.pb", recursive=True)
+    total = 0.0
+    rows = {}
+    for fp in files:
+        xs = xplane_pb2.XSpace()
+        xs.ParseFromString(open(fp, "rb").read())
+        for plane in xs.planes:
+            if "TPU" not in plane.name:
+                continue
+            ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
+            for line in plane.lines:
+                if line.name != "XLA Modules":
+                    # avoid double counting: module-level line only
+                    continue
+                for ev in line.events:
+                    name = ev_meta.get(ev.metadata_id, "?")
+                    rows[name] = rows.get(name, 0) + ev.duration_ps / 1e6
+    total = sum(rows.values())
+    if top:
+        for k, v in sorted(rows.items(), key=lambda kv: -kv[1])[:top]:
+            print(f"    {v/n_steps:9.2f} us/step  {k[:100]}")
+    return total / n_steps
+
+
+def device_op_breakdown(step_fn, n_steps=64, carry0=None, top=20):
+    """Like device_us_per_step but returns per-op totals from XLA Ops line."""
+    if carry0 is None:
+        carry0 = jnp.zeros((), jnp.int32)
+    f = jax.jit(lambda c: jax.lax.scan(step_fn, c, None, length=n_steps))
+    out = f(carry0)
+    jax.block_until_ready(out)
+    shutil.rmtree(_DIR, ignore_errors=True)
+    with jax.profiler.trace(_DIR):
+        out = f(carry0)
+        jax.block_until_ready(out)
+    files = glob.glob(f"{_DIR}/**/*.xplane.pb", recursive=True)
+    rows = {}
+    for fp in files:
+        xs = xplane_pb2.XSpace()
+        xs.ParseFromString(open(fp, "rb").read())
+        for plane in xs.planes:
+            if "TPU" not in plane.name:
+                continue
+            ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
+            for line in plane.lines:
+                if "XLA Ops" not in line.name:
+                    continue
+                for ev in line.events:
+                    name = ev_meta.get(ev.metadata_id, "?")
+                    key = name.split(" = ")[0] if " = " in name else name
+                    rows[key] = rows.get(key, 0) + ev.duration_ps / 1e6
+    for k, v in sorted(rows.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"    {v/n_steps:9.2f} us/step  {k[:110]}")
+    return rows

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from deep_recommenders_tpu.features.columns import Feature, WEIGHT_SUFFIX
+from deep_recommenders_tpu.ops.embedding_kernels import lookup
 from deep_recommenders_tpu.parallel.sharding import (
     DATA_AXIS,
     MODEL_AXIS,
@@ -138,12 +139,12 @@ def fused_rows(
         ids = jnp.stack(
             [batch[s.name] + o for _, s, o in big_single], axis=1
         )  # (B, n_big)
-        rows = jnp.take(table, ids, axis=0)  # (B, n_big, C)
+        rows = lookup(table, ids)  # (B, n_big, C); MXU-factored backward
         for slot, (i, _, _) in enumerate(big_single):
             parts[i] = rows[:, slot]
 
     for i, s, o in big_multi:
-        vecs = jnp.take(table, batch[s.name] + o, axis=0)  # (B, L, C)
+        vecs = lookup(table, batch[s.name] + o)  # (B, L, C)
         wt = batch[s.name + WEIGHT_SUFFIX]
         parts[i] = jnp.einsum("blc,bl->bc", vecs, wt.astype(vecs.dtype))
 

@@ -76,3 +76,47 @@ def test_dice_grads_finite(rng):
     alpha = jnp.full((4,), 0.25)
     g = jax.grad(lambda x: dice(x, alpha).sum())(x)
     assert np.isfinite(np.asarray(g)).all()
+
+
+# --- MXU-factored embedding gradient kernel --------------------------------
+
+def test_factored_scatter_add_matches_xla(rng):
+    """factored_scatter_add == zeros.at[ids].add(g) (CPU falls back to XLA;
+    on TPU the kernel path runs with bf16 input rounding)."""
+    from deep_recommenders_tpu.ops.embedding_kernels import (
+        factored_scatter_add,
+    )
+
+    n, v, c = 1000, 515, 16
+    ids = jnp.asarray(rng.integers(0, v, n).astype(np.int32))
+    g = jnp.asarray(rng.normal(0, 1, (n, c)).astype(np.float32))
+    got = factored_scatter_add(g, ids, v)
+    want = jnp.zeros((v, c), jnp.float32).at[ids].add(g)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-2, atol=1e-2
+    )
+
+
+def test_lookup_forward_and_grad(rng):
+    """lookup == take, and its VJP sums colliding rows like scatter-add."""
+    from deep_recommenders_tpu.ops.embedding_kernels import lookup
+
+    v, c, b = 300, 8, 64
+    table = jnp.asarray(rng.normal(0, 1, (v, c)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, v, (b, 3)).astype(np.int32))
+    np.testing.assert_array_equal(
+        np.asarray(lookup(table, ids)),
+        np.asarray(jnp.take(table, ids, axis=0)),
+    )
+
+    def loss(t):
+        return (lookup(t, ids) ** 2).sum()
+
+    def loss_ref(t):
+        return (jnp.take(t, ids, axis=0) ** 2).sum()
+
+    g = jax.grad(loss)(table)
+    g_ref = jax.grad(loss_ref)(table)
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(g_ref), rtol=2e-2, atol=1e-2
+    )
