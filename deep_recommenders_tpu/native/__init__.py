@@ -18,7 +18,10 @@ from typing import Optional, Sequence, Tuple
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "fastetl.cpp")
+_SRCS = [
+    os.path.join(_DIR, "fastetl.cpp"),
+    os.path.join(_DIR, "loader.cpp"),
+]
 _LIB = os.path.join(_DIR, "libfastetl.so")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -32,14 +35,14 @@ def _load() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
-        if not os.path.exists(_LIB) or os.path.getmtime(
-            _LIB
-        ) < os.path.getmtime(_SRC):
+        if not os.path.exists(_LIB) or any(
+            os.path.getmtime(_LIB) < os.path.getmtime(s) for s in _SRCS
+        ):
             try:
                 subprocess.run(
                     [
-                        "g++", "-O3", "-shared", "-fPIC", _SRC,
-                        "-o", _LIB, "-lz",
+                        "g++", "-O3", "-shared", "-fPIC", *_SRCS,
+                        "-o", _LIB, "-lz", "-lpthread",
                     ],
                     check=True,
                     capture_output=True,
@@ -79,6 +82,29 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_float),
         ]
+        lib.loader_create.restype = ctypes.c_void_p
+        lib.loader_create.argtypes = [
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_uint64,
+            ctypes.c_int,
+        ]
+        lib.loader_slot_ptrs.restype = None
+        lib.loader_slot_ptrs.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_void_p),
+        ]
+        lib.loader_acquire.restype = ctypes.c_int64
+        lib.loader_acquire.argtypes = [ctypes.c_void_p]
+        lib.loader_release.restype = None
+        lib.loader_release.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.loader_destroy.restype = None
+        lib.loader_destroy.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -164,3 +190,137 @@ def pack_bags(
         _i32p(ids), _f32p(wt),
     )
     return ids, wt
+
+
+class NativeStreamLoader:
+    """Background-prefetch batch iterator over an encoded in-RAM corpus.
+
+    The tf.data replacement for the STREAMING path (corpora too large for
+    DeviceData's upload-once design): a C++ producer thread (loader.cpp)
+    gathers shuffled batch rows into a ring of pre-allocated slots ahead of
+    consumption, so host batch assembly overlaps device compute. Each
+    ``next_batch()`` returns zero-copy numpy views of a ready slot; the slot
+    is recycled on the following call (jax.device_put copies host buffers,
+    so handing the previous views back is safe).
+
+    Falls back to synchronous numpy gathers when the native lib is missing.
+    Epochs cycle forever with per-epoch reshuffles; the remainder batch is
+    dropped (reference take/skip semantics, ref datasets/movielens.py:148-168
+    count full batches the same way).
+    """
+
+    def __init__(
+        self,
+        features: dict,
+        labels: np.ndarray,
+        batch_size: int,
+        capacity: int = 4,
+        seed: int = 42,
+        shuffle: bool = True,
+    ):
+        self._names = list(features.keys()) + ["__labels__"]
+        self._arrays = [
+            np.ascontiguousarray(features[k]) for k in features
+        ] + [np.ascontiguousarray(labels)]
+        n_rows = self._arrays[0].shape[0]
+        for a in self._arrays:
+            if a.shape[0] != n_rows:
+                raise ValueError("all columns must share the leading dim")
+        if n_rows < batch_size:
+            raise ValueError("corpus smaller than one batch")
+        self.batch_size = batch_size
+        self.num_examples = n_rows
+        self.steps_per_epoch = n_rows // batch_size
+        self._seed = seed
+        self._shuffle = shuffle
+        self._lib = _load()
+        self._handle = None
+        self._pending_slot = None
+
+        if self._lib is not None:
+            n_cols = len(self._arrays)
+            col_ptrs = (ctypes.c_void_p * n_cols)(
+                *[a.ctypes.data_as(ctypes.c_void_p).value
+                  for a in self._arrays]
+            )
+            row_bytes = (ctypes.c_int64 * n_cols)(
+                *[a.strides[0] for a in self._arrays]
+            )
+            self._handle = self._lib.loader_create(
+                n_cols, col_ptrs, row_bytes, n_rows, batch_size,
+                capacity, seed, int(shuffle),
+            )
+            if not self._handle:
+                self._lib = None
+        if self._lib is not None:
+            # wrap every slot's buffers as numpy views once
+            self._slot_views = []
+            n_cols = len(self._arrays)
+            for s in range(capacity):
+                ptrs = (ctypes.c_void_p * n_cols)()
+                self._lib.loader_slot_ptrs(self._handle, s, ptrs)
+                views = []
+                for c, a in enumerate(self._arrays):
+                    buf_t = ctypes.c_char * (batch_size * a.strides[0])
+                    buf = buf_t.from_address(ptrs[c])
+                    v = np.frombuffer(buf, dtype=a.dtype).reshape(
+                        (batch_size,) + a.shape[1:]
+                    )
+                    views.append(v)
+                self._slot_views.append(views)
+        else:
+            self._epoch = 0
+            self._cursor = 0
+            self._perm = self._new_perm()
+
+    # -- pure-python fallback ---------------------------------------------
+    def _new_perm(self):
+        idx = np.arange(self.num_examples)
+        if self._shuffle:
+            np.random.default_rng(self._seed + self._epoch).shuffle(idx)
+        return idx
+
+    def next_batch(self):
+        """-> (features dict, labels), each a numpy array of batch rows."""
+        if self._lib is not None:
+            if self._pending_slot is not None:
+                self._lib.loader_release(self._handle, self._pending_slot)
+            s = self._lib.loader_acquire(self._handle)
+            if s < 0:
+                raise RuntimeError("loader stopped")
+            self._pending_slot = s
+            views = self._slot_views[s]
+            feats = dict(zip(self._names[:-1], views[:-1]))
+            return feats, views[-1]
+        rows = self._perm[self._cursor : self._cursor + self.batch_size]
+        self._cursor += self.batch_size
+        if self._cursor + self.batch_size > self.num_examples:
+            self._epoch += 1
+            self._cursor = 0
+            self._perm = self._new_perm()
+        feats = {
+            k: a[rows]
+            for k, a in zip(self._names[:-1], self._arrays[:-1])
+        }
+        return feats, self._arrays[-1][rows]
+
+    def __iter__(self):
+        while True:
+            yield self.next_batch()
+
+    def close(self):
+        if self._lib is not None and self._handle:
+            self._lib.loader_destroy(self._handle)
+            self._handle = None
+            self._lib = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def epoch_batches(self):
+        """One epoch's batches — plugs into Trainer.fit(train_batches=...)."""
+        for _ in range(self.steps_per_epoch):
+            yield self.next_batch()
