@@ -159,13 +159,21 @@ class Trainer:
         log_every: int = 100,
         verbose: bool = True,
     ) -> Dict[str, Any]:
+        import inspect
+
+        # epoch-aware batch factories get the epoch index, so shuffles can
+        # differ per epoch (keras reshuffle_each_iteration semantics)
+        takes_epoch = bool(inspect.signature(train_batches).parameters)
         state = None
         history = []
         best_metric, best_epoch = -float("inf"), -1
         examples = 0
         t0 = time.perf_counter()
         for epoch in range(epochs):
-            for batch, labels in train_batches():
+            epoch_batches = (
+                train_batches(epoch) if takes_epoch else train_batches()
+            )
+            for batch, labels in epoch_batches:
                 batch = self._put(batch)
                 labels = self._put(labels)
                 if state is None:

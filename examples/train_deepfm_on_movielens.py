@@ -60,7 +60,9 @@ def main():
     )
     if args.host_streaming:
         result = trainer.fit(
-            lambda: ds.train_batches(epochs=1, shuffle_seed=args.seed),
+            lambda epoch: ds.train_batches(
+                epochs=1, shuffle_seed=args.seed + epoch
+            ),
             lambda: ds.test_batches(),
             epochs=args.epochs,
             early_stopping_patience=3,
