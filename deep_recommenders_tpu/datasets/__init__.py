@@ -9,3 +9,4 @@ from deep_recommenders_tpu.datasets.synthetic_multitask import (
     SyntheticForMultiTask,
     synthetic_two_task,
 )
+from deep_recommenders_tpu.datasets.imdb import SyntheticImdb, load_imdb_npz
