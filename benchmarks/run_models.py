@@ -1,0 +1,205 @@
+"""Device-time throughput benchmarks for the model zoo (one TPU chip).
+
+Measures the full jitted train step of every ranking/multitask/retrieval
+model on MovieLens-shaped synthetic features at batch 8192, using profiler
+traces (tools/trace_timing) — wall time through the remote-dispatch tunnel
+overstates step cost by ~40us.
+
+Usage: python benchmarks/run_models.py [--batch 8192]
+Prints one JSON line per model.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tools.trace_timing import device_us_per_step
+from deep_recommenders_tpu.features import Feature
+from deep_recommenders_tpu.training import Trainer
+
+
+def movielens_specs():
+    return (
+        Feature("user_id", hash_buckets=6040),
+        Feature("user_gender", vocab=("F", "M")),
+        Feature("user_age", vocab=(1, 18, 25, 35, 45, 50, 56)),
+        Feature("user_occupation", vocab=tuple(range(21))),
+        Feature("movie_id", hash_buckets=3952),
+        Feature("movie_genres", vocab=tuple(range(18)), max_len=6),
+    )
+
+
+def movielens_batch(rng, b):
+    return {
+        "user_id": jnp.asarray(rng.integers(0, 6040, b).astype(np.int32)),
+        "user_gender": jnp.asarray(rng.integers(0, 2, b).astype(np.int32)),
+        "user_age": jnp.asarray(rng.integers(0, 7, b).astype(np.int32)),
+        "user_occupation": jnp.asarray(
+            rng.integers(0, 21, b).astype(np.int32)
+        ),
+        "movie_id": jnp.asarray(rng.integers(0, 3952, b).astype(np.int32)),
+        "movie_genres": jnp.asarray(
+            rng.integers(0, 18, (b, 6)).astype(np.int32)
+        ),
+        "movie_genres__wt": jnp.asarray(
+            (rng.random((b, 6)) < 0.5).astype(np.float32)
+        ),
+    }
+
+
+def bench_ctr(name, model, batch, labels):
+    trainer = Trainer(model, optax.adam(1e-3), seed=0)
+    state0 = trainer.init(batch)
+
+    def step(state, _):
+        state, _loss = trainer.train_step_fn(state, batch, labels)
+        return state, None
+
+    us = device_us_per_step(step, carry0=state0)
+    report(name, us, labels.shape[0])
+
+
+def report(name, us, b):
+    print(
+        json.dumps(
+            {
+                "model": name,
+                "batch": b,
+                "device_us_per_step": round(us, 1),
+                "examples_per_sec_per_chip": round(b / us * 1e6, 0),
+            }
+        )
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8192)
+    args = ap.parse_args()
+    b = args.batch
+    rng = np.random.default_rng(0)
+    specs = movielens_specs()
+    batch = movielens_batch(rng, b)
+    labels = jnp.asarray((rng.random((b, 1)) < 0.5).astype(np.float32))
+
+    from deep_recommenders_tpu.models.ranking import (
+        DCN,
+        DeepFM,
+        FactorizationMachine,
+        FNN,
+        WideDeep,
+        XDeepFM,
+    )
+
+    bench_ctr("FM", FactorizationMachine(specs, embedding_dim=16),
+              batch, labels)
+    bench_ctr("DeepFM", DeepFM(specs, embedding_dim=16, hidden=(256, 32)),
+              batch, labels)
+    bench_ctr("FNN", FNN(specs, embedding_dim=16, hidden=(256, 32)),
+              batch, labels)
+    bench_ctr(
+        "WDL",
+        WideDeep(deep_specs=specs, wide_specs=specs, embedding_dim=16,
+                 hidden=(256, 128, 64)),
+        batch, labels,
+    )
+    bench_ctr(
+        "DCN",
+        DCN(specs, embedding_dim=16, num_cross_layers=3, hidden=(256, 128)),
+        batch, labels,
+    )
+    bench_ctr(
+        "xDeepFM",
+        XDeepFM(specs, embedding_dim=16, cin_feature_maps=(128, 128),
+                hidden=(256, 128)),
+        batch, labels,
+    )
+
+    # DIN: behavior-sequence attention over T=32 history items
+    from deep_recommenders_tpu.models.ranking.din import DIN
+
+    T, D = 32, 32
+    behaviors = jnp.asarray(rng.normal(0, 1, (b, T, D)).astype(np.float32))
+    mask = jnp.asarray((rng.random((b, T)) < 0.9).astype(np.float32))
+    candidate = jnp.asarray(rng.normal(0, 1, (b, D)).astype(np.float32))
+    din = DIN()
+    params0 = din.init(jax.random.PRNGKey(0), behaviors, mask, candidate)
+    opt = optax.adam(1e-3)
+
+    def din_step(carry, _):
+        params, opt_state = carry
+
+        def loss_fn(p):
+            logits = din.apply(p, behaviors, mask, candidate)
+            return optax.sigmoid_binary_cross_entropy(logits, labels).mean()
+
+        g = jax.grad(loss_fn)(params)
+        up, opt_state = opt.update(g, opt_state, params)
+        return (optax.apply_updates(params, up), opt_state), None
+
+    us = device_us_per_step(din_step, carry0=(params0, opt.init(params0)))
+    report(f"DIN(T={T},D={D})", us, b)
+
+    # MMoE: dense multitask input dim 256 (reference synthetic config)
+    from deep_recommenders_tpu.models.multitask import MMoE
+
+    x = jnp.asarray(rng.normal(0, 1, (b, 256)).astype(np.float32))
+    y0 = jnp.asarray(rng.normal(0, 1, (b, 1)).astype(np.float32))
+    y1 = jnp.asarray(rng.normal(0, 1, (b, 1)).astype(np.float32))
+    mmoe = MMoE(num_tasks=2, num_experts=4)
+    mparams = mmoe.init(jax.random.PRNGKey(0), x)
+
+    def mmoe_step(carry, _):
+        params, opt_state = carry
+
+        def loss_fn(p):
+            o0, o1 = mmoe.apply(p, x)
+            return ((o0 - y0) ** 2).mean() + ((o1 - y1) ** 2).mean()
+
+        g = jax.grad(loss_fn)(params)
+        up, opt_state = opt.update(g, opt_state, params)
+        return (optax.apply_updates(params, up), opt_state), None
+
+    us = device_us_per_step(mmoe_step, carry0=(mparams, opt.init(mparams)))
+    report("MMoE(dim256,4exp)", us, b)
+
+    # Two-tower retrieval with in-batch sampled softmax (batch smaller:
+    # the BxB score matrix dominates)
+    from deep_recommenders_tpu.models.retrieval import TwoTower
+    from deep_recommenders_tpu.ops.retrieval import in_batch_retrieval_loss
+
+    br = 4096
+    user_specs = specs[:4]
+    item_specs = specs[4:]
+    ub = {k: v[:br] for k, v in batch.items()}
+    tt = TwoTower(query_specs=user_specs, candidate_specs=item_specs,
+                  embedding_dim=32, hidden=(64,), output_dim=32)
+    tparams = tt.init(jax.random.PRNGKey(0), ub, ub)
+
+    def tt_step(carry, _):
+        params, opt_state = carry
+
+        def loss_fn(p):
+            q, c = tt.apply(p, ub, ub)
+            return in_batch_retrieval_loss(q, c)
+
+        g = jax.grad(loss_fn)(params)
+        up, opt_state = opt.update(g, opt_state, params)
+        return (optax.apply_updates(params, up), opt_state), None
+
+    us = device_us_per_step(tt_step, carry0=(tparams, opt.init(tparams)))
+    report("TwoTower(in-batch)", us, br)
+
+
+if __name__ == "__main__":
+    main()

@@ -19,6 +19,7 @@ import jax
 from deep_recommenders_tpu.embedding.engine import (
     EmbeddingCollection,
     LinearTerms,
+    fused_embedding_linear,
 )
 from deep_recommenders_tpu.features.columns import CrossedFeature, Feature
 from deep_recommenders_tpu.models.common import MLP
@@ -33,13 +34,38 @@ class WideDeep(nn.Module):
     hidden: Tuple[int, ...] = (256, 128, 64)
 
     def setup(self):
-        self.wide = LinearTerms(self.wide_specs)
+        # When the wide side covers all the deep features (+ extras such as
+        # crossed columns — the reference example's shape), the deep
+        # features' first-order weights ride along the embedding table pass
+        # (ONE fused lookup instead of two; halves the gather/scatter cost),
+        # and only the extras get their own linear pass. Both wide params
+        # keep a "wide" path prefix so the example's FTRL/Adam
+        # scoped_optimizer split still routes them to FTRL.
+        deep_set = set(self.deep_specs)
+        extras = tuple(s for s in self.wide_specs if s not in deep_set)
+        covers_deep = deep_set <= set(self.wide_specs)
+        self._fused_wide = covers_deep
+        if covers_deep:
+            self.wide_linear = LinearTerms(self.deep_specs, use_bias=False)
+            self.wide_extra = (
+                LinearTerms(extras, use_bias=True) if extras else None
+            )
+        else:
+            self.wide = LinearTerms(self.wide_specs)
         self.embeddings = EmbeddingCollection(self.deep_specs, self.embedding_dim)
         self.deep = MLP(self.hidden, output_dim=1)
 
     def __call__(self, batch, training: bool = False) -> jax.Array:
-        wide_logit = self.wide(batch)
-        stacked = self.embeddings(batch)
+        if self._fused_wide:
+            stacked, lin = fused_embedding_linear(
+                self.embeddings, self.wide_linear, batch
+            )
+            wide_logit = lin.sum(axis=1, keepdims=True)
+            if self.wide_extra is not None:
+                wide_logit = wide_logit + self.wide_extra(batch)
+        else:
+            wide_logit = self.wide(batch)
+            stacked = self.embeddings(batch)
         b = stacked.shape[0]
         deep_logit = self.deep(stacked.reshape(b, -1), training=training)
         return wide_logit + deep_logit

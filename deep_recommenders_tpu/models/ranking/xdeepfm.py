@@ -21,6 +21,7 @@ from deep_recommenders_tpu.embedding.engine import (
 from deep_recommenders_tpu.features.columns import Feature
 from deep_recommenders_tpu.models.common import MLP, resolve_activation
 from deep_recommenders_tpu.ops.cin import cin_interaction
+from deep_recommenders_tpu.ops.cin_kernels import cin_interaction_fused
 
 
 class CIN(nn.Module):
@@ -29,6 +30,7 @@ class CIN(nn.Module):
     feature_map: int = 3
     use_bias: bool = False
     activation: str = "sigmoid"
+    fused: bool = True  # Pallas kernel on TPU; einsum fallback elsewhere
 
     @nn.compact
     def __call__(self, inputs: Tuple[jax.Array, jax.Array]) -> jax.Array:
@@ -41,7 +43,8 @@ class CIN(nn.Module):
                 f"`CIN` inputs tuple length should be 2, got {len(inputs)}"
             )
         x0, x = inputs
-        if x0.ndim != 3 or x.ndim != 3:
+        rows_mode = x0.ndim == 2 and x.ndim == 2
+        if not rows_mode and (x0.ndim != 3 or x.ndim != 3):
             raise ValueError(
                 f"`x0` and `x` must be 3-D, got {x0.ndim} / {x.ndim}"
             )
@@ -51,7 +54,33 @@ class CIN(nn.Module):
             nn.initializers.truncated_normal(stddev=0.05),
             (f0, f, self.feature_map),
         )
-        out = cin_interaction(x0, x, kernel)  # (B, M, D)
+        if rows_mode:
+            # Flattened (B*D, F) rows end-to-end: the minor dim stays the
+            # feature-map width (hardware-sized lanes) instead of the
+            # narrow embedding dim whose 8x lane padding dominates the 3-D
+            # path. Used by XDeepFM's stack; fused kernel on TPU.
+            from deep_recommenders_tpu.ops.cin_kernels import cin2d
+
+            out = (
+                cin2d(x0, x, kernel)
+                if self.fused
+                else jnp.einsum(
+                    "rf,rg,fgm->rm", x0, x, kernel, optimize=True
+                )
+            )  # (R, M)
+            if self.use_bias:
+                bias = self.param(
+                    "bias", nn.initializers.zeros, (self.feature_map,)
+                )
+                out = out + bias[None, :]
+            act = resolve_activation(self.activation)
+            return act(out) if act is not None else out
+        # Fused Pallas path on TPU (ops/cin_kernels.py: flattened-row MXU
+        # kernel, no giant einsum intermediates); einsum elsewhere.
+        if self.fused:
+            out = cin_interaction_fused(x0, x, kernel)  # (B, M, D)
+        else:
+            out = cin_interaction(x0, x, kernel)
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros, (self.feature_map,)
@@ -83,11 +112,15 @@ class XDeepFM(nn.Module):
     def __call__(self, batch, training: bool = False) -> jax.Array:
         linear_logit = self.linear(batch)
         x0 = self.embeddings(batch)  # (B, F, D)
-        b = x0.shape[0]
-        x, pooled = x0, []
+        b, f0, d = x0.shape
+        # CIN stack in flattened (B*D, F) rows: one transpose in, per-layer
+        # outputs stay lane-friendly (M wide), pooling reshapes at the end.
+        x0v = x0.transpose(0, 2, 1).reshape(b * d, f0)
+        xv, pooled = x0v, []
         for cin in self.cins:
-            x = cin((x0, x))
-            pooled.append(jnp.sum(x, axis=-1))  # (B, M) sum over emb dim
+            xv = cin((x0v, xv))  # (B*D, M)
+            # sum over the embedding dim d
+            pooled.append(xv.reshape(b, d, -1).sum(axis=1))  # (B, M)
         cin_logit = self.cin_head(jnp.concatenate(pooled, axis=-1))
         deep_logit = self.deep(x0.reshape(b, -1), training=training)
         return linear_logit + cin_logit + deep_logit

@@ -89,7 +89,7 @@ def main():
     )
     final = result["history"][-1]
     wide_w = np.asarray(
-        result["state"].params["params"]["wide"]["weights"]
+        result["state"].params["params"]["wide_linear"]["weights"]
     )
     sparsity = float((wide_w == 0).mean())
     print(

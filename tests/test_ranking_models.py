@@ -72,8 +72,9 @@ def test_wide_deep_shapes():
     params = model.init(jax.random.PRNGKey(0), batch)
     out = model.apply(params, batch)
     assert out.shape == (8, 1)
-    # Params split into wide/deep scopes for per-scope optimizers.
-    assert "wide" in params["params"]
+    # Params split into wide/deep scopes for per-scope optimizers
+    # (wide_linear rides the fused table pass, wide_extra = crosses).
+    assert any(k.startswith("wide") for k in params["params"])
 
 
 def test_fm_layer_linear_only_degradation(rng):
