@@ -84,6 +84,9 @@ def fused_rows(
     specs: Sequence[Feature],
     offsets: Sequence[int],
     batch: Dict[str, jax.Array],
+    *,
+    gather=None,
+    slice_rows=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Per-feature table-row bundles with the combiner fused in.
 
@@ -104,7 +107,17 @@ def fused_rows(
     single-valued). Callers divide or not depending on their semantics
     (embeddings honor spec.combiner; first-order linear terms always sum,
     matching tf.feature_column.linear_model).
+
+    ``gather(ids) -> rows`` and ``slice_rows(offset, card) -> (card, C)``
+    parameterize the row access so the SAME routing/fusion logic runs both
+    against the full table (defaults) and against one model-axis shard inside
+    the shard_map exchange (embedding/sharded.py: masked local access, so
+    non-resident rows contribute zeros and ONE psum completes every feature).
     """
+    if gather is None:
+        gather = lambda ids: lookup(table, ids)  # noqa: E731
+    if slice_rows is None:
+        slice_rows = lambda off, card: table[off : off + card]  # noqa: E731
     b = batch[specs[0].name].shape[0]
     c = table.shape[1]
     parts: Dict[int, jax.Array] = {}
@@ -129,7 +142,7 @@ def fused_rows(
         bags = jnp.concatenate(
             [_sum_bag(s, batch, table.dtype) for _, s, _ in small], axis=-1
         )  # (B, sum_V)
-        blocks = [table[o : o + s.cardinality] for _, s, o in small]
+        blocks = [slice_rows(o, s.cardinality) for _, s, o in small]
         block = jax.scipy.linalg.block_diag(*blocks)  # (sum_V, n*C)
         out = (bags @ block).reshape(b, len(small), c)
         for slot, (i, _, _) in enumerate(small):
@@ -139,12 +152,12 @@ def fused_rows(
         ids = jnp.stack(
             [batch[s.name] + o for _, s, o in big_single], axis=1
         )  # (B, n_big)
-        rows = lookup(table, ids)  # (B, n_big, C); MXU-factored backward
+        rows = gather(ids)  # (B, n_big, C); MXU-factored backward
         for slot, (i, _, _) in enumerate(big_single):
             parts[i] = rows[:, slot]
 
     for i, s, o in big_multi:
-        vecs = lookup(table, batch[s.name] + o)  # (B, L, C)
+        vecs = gather(batch[s.name] + o)  # (B, L, C)
         wt = batch[s.name + WEIGHT_SUFFIX]
         parts[i] = jnp.einsum("blc,bl->bc", vecs, wt.astype(vecs.dtype))
 
@@ -163,10 +176,12 @@ class EmbeddingCollection(nn.Module):
     combined (mean/sum) with their padding weights before stacking, so every
     feature contributes exactly one D-vector per example.
 
-    When ``mesh`` is set, lookups go through the explicit shard_map exchange
-    (embedding/sharded.py): local row gather + psum over the "model" axis,
-    with the multi-hot combiner fused before the collective. Without a mesh,
-    plain gathers + a GSPMD sharding constraint are used.
+    When ``mesh`` is set, ALL features go through ONE explicit shard_map
+    exchange (embedding/sharded.sharded_fused_rows): each model-axis shard
+    runs the full fused_rows routing against its resident rows and a single
+    psum carries the stacked (B, F, D) partials — the same formulation (and
+    op count) as the single-chip path. Without a mesh, plain gathers + a
+    GSPMD sharding constraint are used.
     """
 
     specs: Tuple[Feature, ...]
@@ -201,26 +216,18 @@ class EmbeddingCollection(nn.Module):
         """batch: {name: (B,) or (B, L) int32 ids, name__wt: (B, L) f32}."""
         if self.mesh is not None:
             from deep_recommenders_tpu.embedding.sharded import (
-                sharded_embedding_bag,
-                sharded_lookup,
+                sharded_fused_rows,
             )
 
-            per_feature = []
-            for spec, off in zip(self.specs, self._feature_offsets):
-                ids = batch[spec.name] + off
-                if spec.is_multi:
-                    wt = batch[spec.name + WEIGHT_SUFFIX]  # (B, L)
-                    summed = sharded_embedding_bag(
-                        self.table, ids, wt, self.mesh,
-                        combiner=spec.combiner,
-                    )
-                    per_feature.append(summed)
-                else:
-                    per_feature.append(
-                        sharded_lookup(self.table, ids, self.mesh)
-                    )
-            stacked = jnp.stack(per_feature, axis=1)  # (B, F, D)
-            return with_sharding(stacked, P(DATA_AXIS, None, None))
+            rows = sharded_fused_rows(
+                self.table, self.specs, self._feature_offsets, batch,
+                self.mesh,
+            )  # (B, F, D), SUM-combined — ONE psum for the whole spec set
+            b = rows.shape[0]
+            denom = jnp.stack(
+                [_mean_denom(s, batch, b) for s in self.specs], axis=1
+            )[..., None]
+            return with_sharding(rows / denom, P(DATA_AXIS, None, None))
 
         table = self.table
         if self.shard:
@@ -293,24 +300,38 @@ def fused_embedding_linear(
     Returns ``(stacked, first_order)``: (B, F, D) combined embeddings (spec
     combiners applied) and (B, F) per-feature SUM-combined linear terms
     (callers sum + add ``linear.bias`` for the scalar wide logit, or use
-    per-feature for FNN). Requires identical specs on both modules; falls
-    back to separate passes under an explicit mesh.
+    per-feature for FNN). Requires identical specs on both modules. Under an
+    explicit mesh the same fused (V, D+1) operand goes through the single
+    shard_map exchange (sharded_fused_rows), so the mesh path keeps the
+    one-table-pass formulation — and its single psum — too.
     """
     if embeddings.specs != linear.specs:
         raise ValueError("fused_embedding_linear requires identical specs")
-    if embeddings.mesh is not None:
-        return embeddings(batch), linear.per_feature(batch)
     table = embeddings.table
-    if embeddings.shard:
+    if embeddings.mesh is None and embeddings.shard:
         table = with_sharding(table, P(MODEL_AXIS, None))
     w = linear.weights
     if w.shape[0] != table.shape[0]:  # mesh-padded vocab
         w = jnp.pad(w, ((0, table.shape[0] - w.shape[0]), (0, 0)))
     fused = jnp.concatenate([table, w.astype(table.dtype)], axis=1)
-    rows, denom = fused_rows(
-        fused, embeddings.specs, embeddings._feature_offsets, batch
-    )
     d = embeddings.dim
+    if embeddings.mesh is not None:
+        from deep_recommenders_tpu.embedding.sharded import (
+            sharded_fused_rows,
+        )
+
+        rows = sharded_fused_rows(
+            fused, embeddings.specs, embeddings._feature_offsets, batch,
+            embeddings.mesh,
+        )
+        b = rows.shape[0]
+        denom = jnp.stack(
+            [_mean_denom(s, batch, b) for s in embeddings.specs], axis=1
+        )[..., None]
+    else:
+        rows, denom = fused_rows(
+            fused, embeddings.specs, embeddings._feature_offsets, batch
+        )
     stacked = rows[..., :d] / denom
     first_order = rows[..., d]
     return stacked, first_order

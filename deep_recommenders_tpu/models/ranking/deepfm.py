@@ -45,15 +45,12 @@ class DeepFM(nn.Module):
         )
 
     def __call__(self, batch, training: bool = False) -> jax.Array:
-        if self.mesh is None:
-            # One fused table pass for embeddings + first-order weights.
-            stacked, lin = fused_embedding_linear(
-                self.embeddings, self.linear, batch
-            )
-            first_order = lin.sum(axis=1, keepdims=True) + self.linear.bias
-        else:
-            first_order = self.linear(batch)
-            stacked = self.embeddings(batch)  # (B, F, D)
+        # One fused table pass for embeddings + first-order weights; under a
+        # mesh the same fused operand rides the single shard_map exchange.
+        stacked, lin = fused_embedding_linear(
+            self.embeddings, self.linear, batch
+        )
+        first_order = lin.sum(axis=1, keepdims=True) + self.linear.bias
         fm_logit = fm_interaction(stacked)
         b = stacked.shape[0]
         deep_logit = self.deep(stacked.reshape(b, -1), training=training)

@@ -143,6 +143,17 @@ def factored_scatter_add(
             preferred_element_type=jnp.float32,
         )
 
+    # Inside a shard_map body the operands carry a varying-mesh-axes (vma)
+    # set; the pallas out_shape must declare the union of those or the vma
+    # checker rejects the call. Outside shard_map this is a no-op.
+    vma = frozenset()
+    for operand in (g, ids):
+        vma = vma | (getattr(jax.typeof(operand), "vma", None) or frozenset())
+    out_shape = (
+        jax.ShapeDtypeStruct((l, h * c), jnp.float32, vma=vma)
+        if vma
+        else jax.ShapeDtypeStruct((l, h * c), jnp.float32)
+    )
     dt2 = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -153,7 +164,7 @@ def factored_scatter_add(
             pl.BlockSpec((bt, c), lambda i: (i, 0)),
         ],
         out_specs=pl.BlockSpec((l, h * c), lambda i: (0, 0)),
-        out_shape=jax.ShapeDtypeStruct((l, h * c), jnp.float32),
+        out_shape=out_shape,
     )(ids.reshape(grid, bt).astype(jnp.int32), g.astype(jnp.float32))
     return _lhc_to_table(dt2, num_rows, h, l, c).astype(g.dtype)
 
