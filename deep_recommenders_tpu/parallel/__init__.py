@@ -11,6 +11,8 @@ from deep_recommenders_tpu.parallel.sharding import (
     DATA_AXIS,
     MODEL_AXIS,
     batch_sharding,
+    host_array,
+    replicate_on_mesh,
     replicated,
     shard_batch,
     table_sharding,

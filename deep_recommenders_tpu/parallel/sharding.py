@@ -45,13 +45,41 @@ def with_sharding(x: Any, spec: P) -> Any:
         return x
 
 
+def host_array(x: Any, mesh: Mesh, spec: P) -> Any:
+    """Build a global array on the mesh from THIS process's local data.
+
+    Single-process: a plain sharded device_put. Multi-process (pod slice /
+    multi-host): ``jax.make_array_from_process_local_data`` — each host
+    contributes only its local shard of the global array (its slice of the
+    batch for P("data", ...), or an identical full copy for replicated P()),
+    and JAX assembles the global Array without any host ever holding the
+    whole thing. This is the multi-host ingest seam of SURVEY §5.8.
+    """
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() > 1:
+        import numpy as np
+
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)
+        )
+    return jax.device_put(x, sharding)
+
+
 def shard_batch(batch: Any, mesh: Optional[Mesh]) -> Any:
-    """Device-put a host batch with the leading dim sharded over "data"."""
+    """Assemble a global batch with the leading dim sharded over "data".
+
+    Multi-process: each host passes its PROCESS-LOCAL slice of the global
+    batch (global batch = per-host batch x process_count along axis 0).
+    """
     if mesh is None:
         return jax.tree.map(jax.numpy.asarray, batch)
 
     def _put(x):
-        sharding = NamedSharding(mesh, P(DATA_AXIS, *([None] * (x.ndim - 1))))
-        return jax.device_put(x, sharding)
+        return host_array(x, mesh, P(DATA_AXIS, *([None] * (x.ndim - 1))))
 
     return jax.tree.map(_put, batch)
+
+
+def replicate_on_mesh(x: Any, mesh: Mesh) -> Any:
+    """Fully-replicated global array (every host passes an identical copy)."""
+    return host_array(x, mesh, P())

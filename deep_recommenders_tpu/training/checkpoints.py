@@ -34,12 +34,16 @@ def restore_checkpoint(path: str, template: Optional[Any] = None) -> Any:
         return ckptr.restore(path, abstract)
 
 
+def list_step_dirs(root: str) -> list:
+    """All checkpoint dirs under root (step_N naming), ordered by step."""
+    if not os.path.isdir(root):
+        return []
+    entries = [e for e in os.listdir(root) if e.startswith("step_")]
+    entries.sort(key=lambda e: int(e.split("_")[1]))
+    return [os.path.join(root, e) for e in entries]
+
+
 def latest_step_dir(root: str) -> Optional[str]:
     """Return the lexically-latest checkpoint dir under root (step_N naming)."""
-    if not os.path.isdir(root):
-        return None
-    entries = [e for e in os.listdir(root) if e.startswith("step_")]
-    if not entries:
-        return None
-    entries.sort(key=lambda e: int(e.split("_")[1]))
-    return os.path.join(root, entries[-1])
+    dirs = list_step_dirs(root)
+    return dirs[-1] if dirs else None

@@ -28,6 +28,7 @@ class DeviceData:
     features: Dict[str, jax.Array]
     labels: jax.Array
     batch_size: int
+    mesh: object = None  # jax.sharding.Mesh when the split is mesh-global
 
     @classmethod
     def from_numpy(
@@ -36,16 +37,37 @@ class DeviceData:
         labels: np.ndarray,
         batch_size: int,
         sharding=None,
+        mesh=None,
     ) -> "DeviceData":
-        put = (
-            (lambda x: jax.device_put(x, sharding))
-            if sharding is not None
-            else jax.device_put
-        )
+        """Upload an encoded split.
+
+        With ``mesh``: rows are sharded over the "data" axis and — on a
+        multi-host run — each process passes only ITS slice of the global
+        split (global rows = local rows x process_count); the arrays are
+        assembled process-locally (SURVEY §5.8).
+        """
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            from deep_recommenders_tpu.parallel.sharding import (
+                DATA_AXIS,
+                host_array,
+            )
+
+            def put(x):
+                return host_array(
+                    x, mesh, P(DATA_AXIS, *([None] * (x.ndim - 1)))
+                )
+        elif sharding is not None:
+            def put(x):
+                return jax.device_put(x, sharding)
+        else:
+            put = jax.device_put
         return cls(
             features={k: put(v) for k, v in features.items()},
             labels=put(labels),
             batch_size=batch_size,
+            mesh=mesh,
         )
 
     @property
@@ -57,12 +79,24 @@ class DeviceData:
         return self.num_examples // self.batch_size
 
     def permutation(self, seed: Optional[int], epoch: int) -> jax.Array:
-        """Epoch-shuffled row order (host RNG, device array)."""
+        """Epoch-shuffled row order (host RNG, device array).
+
+        The numpy RNG is seeded identically on every process, so multi-host
+        runs agree on the global row order without communicating; the perm
+        is materialized as a replicated global array on the mesh.
+        """
         n = self.steps_per_epoch * self.batch_size
         idx = np.arange(self.num_examples)
         if seed is not None:
             np.random.default_rng(seed + epoch).shuffle(idx)
-        return jnp.asarray(idx[:n].astype(np.int32))
+        idx = idx[:n].astype(np.int32)
+        if self.mesh is not None and jax.process_count() > 1:
+            from deep_recommenders_tpu.parallel.sharding import (
+                replicate_on_mesh,
+            )
+
+            return replicate_on_mesh(idx, self.mesh)
+        return jnp.asarray(idx)
 
     def gather(self, rows: jax.Array):
         """Device-side batch materialization (jit-safe)."""

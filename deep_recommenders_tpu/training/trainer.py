@@ -26,7 +26,7 @@ from typing import Any, Callable, Dict, Iterable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh
+from jax.sharding import Mesh, NamedSharding
 
 from deep_recommenders_tpu.parallel.sharding import shard_batch
 from deep_recommenders_tpu.training import metrics as metrics_lib
@@ -56,6 +56,27 @@ jax.tree_util.register_pytree_node(
 
 
 LossFn = Callable[..., jax.Array]
+
+
+def _monitor_value(summary: Dict[str, Any], monitor: str, mode: str) -> float:
+    """Scalar driving early stopping / best-model selection.
+
+    ``monitor="auto"`` keeps the CTR default (AUC if present, else -val_loss
+    — ref keras EarlyStopping over the compiled metrics); any other name
+    selects that summary key, maximized (``mode="max"``) or minimized
+    (``mode="min"`` — e.g. multitask MSE, retrieval val_loss).
+    """
+    if monitor == "auto":
+        if "auc" in summary:
+            return summary["auc"]
+        return -summary.get("val_loss", summary["loss"])
+    if monitor not in summary:
+        raise KeyError(
+            f"early-stop monitor {monitor!r} not in epoch summary "
+            f"{sorted(summary)}"
+        )
+    value = summary[monitor]
+    return -value if mode == "min" else value
 
 
 def bce_loss(model) -> LossFn:
@@ -88,6 +109,13 @@ class Trainer:
         self.has_dropout = has_dropout
         self._auc = metrics_lib.AUC()
         self._pr = metrics_lib.PrecisionRecall()
+        # Pytree of shardings pinning the train-step OUTPUT state layout to
+        # the input's (see set_state_constraint). Without it, GSPMD is free
+        # to emit the updated params replicated — flipping a mesh-sharded
+        # embedding table to P() every step and forcing a host-visible
+        # reshard per dispatch (measured 84ms/step vs 140us on v5e).
+        self._state_constraint = None
+        self._train_step_jit = None
         self._build_steps()
 
     # -- state ------------------------------------------------------------
@@ -99,6 +127,37 @@ class Trainer:
         opt_state = self.optimizer.init(params)
         return TrainState(
             params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32)
+        )
+
+    # -- sharding stability ------------------------------------------------
+    def set_state_constraint(self, state: TrainState) -> None:
+        """Pin the train step's output-state shardings to ``state``'s.
+
+        Call after placing params on the mesh (e.g. row-sharding the
+        embedding table) and before tracing any step/scan. Only mesh
+        (NamedSharding) placements are pinned; everything else is left to
+        the compiler. No-op without a mesh.
+        """
+        if self.mesh is None:
+            return
+        self._state_constraint = jax.tree.map(
+            lambda x: x.sharding
+            if isinstance(getattr(x, "sharding", None), NamedSharding)
+            else None,
+            state,
+        )
+
+    def _apply_state_constraint(self, state: TrainState) -> TrainState:
+        if self._state_constraint is None:
+            return state
+        return jax.tree.map(
+            lambda x, s: (
+                jax.lax.with_sharding_constraint(x, s)
+                if isinstance(s, NamedSharding)
+                else x
+            ),
+            state,
+            self._state_constraint,
         )
 
     # -- jitted steps -----------------------------------------------------
@@ -121,12 +180,10 @@ class Trainer:
                 grads, state.opt_state, state.params
             )
             params = optax.apply_updates(state.params, updates)
-            return (
-                TrainState(
-                    params=params, opt_state=opt_state, step=state.step + 1
-                ),
-                loss,
+            new_state = TrainState(
+                params=params, opt_state=opt_state, step=state.step + 1
             )
+            return self._apply_state_constraint(new_state), loss
 
         model, auc, pr = self.model, self._auc, self._pr
 
@@ -141,7 +198,20 @@ class Trainer:
             }
 
         self.train_step_fn = train_step  # unjitted (for scan/custom loops)
-        self.train_step = jax.jit(train_step, donate_argnums=(0,))
+
+        def train_step_dispatch(state, batch, labels):
+            # Lazy jit: capture the concrete state's mesh shardings on first
+            # call so the output state keeps them (stable layout, donation
+            # aliases cleanly, no per-dispatch reshard).
+            if self._train_step_jit is None:
+                if self._state_constraint is None:
+                    self.set_state_constraint(state)
+                self._train_step_jit = jax.jit(
+                    train_step, donate_argnums=(0,)
+                )
+            return self._train_step_jit(state, batch, labels)
+
+        self.train_step = train_step_dispatch
         # No donation for eval: metric states are tiny, and freshly-init
         # zeros can alias the same cached constant buffer.
         self.eval_step = jax.jit(eval_step)
@@ -156,6 +226,8 @@ class Trainer:
         eval_batches: Optional[Callable[[], Iterable[Tuple[Dict, Any]]]] = None,
         epochs: int = 1,
         early_stopping_patience: Optional[int] = None,
+        monitor: str = "auto",
+        monitor_mode: str = "max",
         log_every: int = 100,
         verbose: bool = True,
     ) -> Dict[str, Any]:
@@ -164,6 +236,10 @@ class Trainer:
         # epoch-aware batch factories get the epoch index, so shuffles can
         # differ per epoch (keras reshuffle_each_iteration semantics)
         takes_epoch = bool(inspect.signature(train_batches).parameters)
+        # Multi-host: every process runs the same loop on its own local
+        # slice of each global batch (shard_batch assembles the global
+        # arrays); only process 0 narrates.
+        verbose = verbose and jax.process_index() == 0
         state = None
         history = []
         best_metric, best_epoch = -float("inf"), -1
@@ -195,7 +271,7 @@ class Trainer:
             epoch_summary = {"epoch": epoch, "loss": float(loss)}
             if eval_batches is not None:
                 epoch_summary.update(self.evaluate(state.params, eval_batches))
-                metric = epoch_summary.get("auc", -epoch_summary["val_loss"])
+                metric = _monitor_value(epoch_summary, monitor, monitor_mode)
                 if metric > best_metric:
                     best_metric, best_epoch = metric, epoch
                 elif (
@@ -223,6 +299,8 @@ class Trainer:
         epochs: int = 1,
         shuffle_seed: Optional[int] = 42,
         early_stopping_patience: Optional[int] = None,
+        monitor: str = "auto",
+        monitor_mode: str = "max",
         checkpoint_dir: Optional[str] = None,
         checkpoint_every_epochs: int = 1,
         keep_checkpoint_max: int = 10,
@@ -234,6 +312,8 @@ class Trainer:
         epoch, data gathered on-device from the resident split.
         """
         import jax.numpy as jnp
+
+        verbose = verbose and jax.process_index() == 0
 
         train_step_fn = self.train_step_fn
         batch = train_data.batch_size
@@ -287,26 +367,31 @@ class Trainer:
         first_batch, _ = train_data.gather(first_rows)
         state = self.init(first_batch)
         start_epoch = 0
+        saved_ckpts = []
         if checkpoint_dir is not None:
             from deep_recommenders_tpu.training.checkpoints import (
-                latest_step_dir,
+                list_step_dirs,
                 restore_checkpoint,
             )
 
-            latest = latest_step_dir(checkpoint_dir)
-            if latest is not None:
+            # Rescan surviving checkpoints so keep_checkpoint_max holds
+            # across restarts (not just within one run).
+            saved_ckpts = list_step_dirs(checkpoint_dir)
+            if saved_ckpts:
+                latest = saved_ckpts[-1]
                 state = restore_checkpoint(latest, state)
                 start_epoch = int(
                     os.path.basename(latest).split("_")[1]
                 ) + 1
                 if verbose:
                     print(f"resumed from {latest} (epoch {start_epoch})")
+        if self._state_constraint is None:
+            self.set_state_constraint(state)
 
         history = []
         best_metric, best_epoch = -float("inf"), -1
         t0 = time.perf_counter()
         examples = 0
-        saved_ckpts = []
         for epoch in range(start_epoch, epochs):
             perm = train_data.permutation(shuffle_seed, epoch)
             state, losses = run_epoch(state, perm)
@@ -337,7 +422,7 @@ class Trainer:
                     recall=float(prc["recall"]),
                     val_loss=float(metrics_lib.Mean.compute(mstate["loss"])),
                 )
-                metric = summary["auc"]
+                metric = _monitor_value(summary, monitor, monitor_mode)
                 if metric > best_metric:
                     best_metric, best_epoch = metric, epoch
                 elif (
