@@ -8,10 +8,11 @@ the full (S, S) score matrix materialized in memory.
 TPU-first: ``flash_attention`` never materializes (S, S): the Pallas kernel
 streams K/V blocks through VMEM with an online-softmax running max/sum and
 accumulates the output in fp32 scratch (one HBM pass over K/V per Q block).
-This single kernel serves both the Transformer (causal + padding masks) and
-DIN-style sequence attention, and its block structure is the natural seam
-for sequence/context parallelism later (SURVEY §5.7). The jnp path is the
-semantics oracle and the CPU/dropout fallback.
+It serves the Transformer stack (causal + padding masks; DIN proper uses
+the reference's MLP ActivationUnit scorer, models/ranking/din.py, not this
+kernel), and its block structure is the natural seam for sequence/context
+parallelism later (SURVEY §5.7). The jnp path is the semantics oracle and
+the CPU/dropout fallback.
 """
 
 from __future__ import annotations
@@ -57,7 +58,7 @@ def scaled_dot_product_attention(
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, mask_ref, o_ref,
+    q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
     m_scratch, l_scratch, acc_scratch,
     *, scale: float, causal: bool, block_q: int, block_k: int,
 ):
@@ -121,10 +122,20 @@ def _flash_kernel(
     def _finalize():
         denom = jnp.maximum(l_scratch[:], 1e-30)
         o_ref[0] = (acc_scratch[:] / denom).astype(o_ref.dtype)
+        # Log-sum-exp per query row, the residual the blockwise backward
+        # rebuilds p from. Fully-masked rows get lse=0 (their backward p is
+        # zeroed by the same masks, so the value never matters — it just has
+        # to be finite).
+        m, l = m_scratch[:], l_scratch[:]
+        lse = jnp.where(l > 0, m + jnp.log(jnp.maximum(l, 1e-30)), 0.0)
+        lse_ref[0] = lse[:, 0]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("causal", "block_q", "block_k", "interpret")
+    jax.jit,
+    static_argnames=(
+        "causal", "block_q", "block_k", "interpret", "return_lse"
+    ),
 )
 def flash_attention(
     q: jax.Array,
@@ -135,9 +146,12 @@ def flash_attention(
     block_q: int = 128,
     block_k: int = 128,
     interpret: bool = False,
+    return_lse: bool = False,
 ) -> jax.Array:
     """Blockwise attention. q: (BH, Sq, D), k/v: (BH, Sk, D),
-    key_mask: (BH, Sk) 1=valid (None = all valid). Returns (BH, Sq, D)."""
+    key_mask: (BH, Sk) 1=valid (None = all valid). Returns (BH, Sq, D);
+    with ``return_lse`` also the per-row log-sum-exp (BH, Sq) residual for
+    the blockwise backward."""
     bh, sq, d = q.shape
     sk = k.shape[1]
     block_q = min(block_q, sq)
@@ -157,7 +171,7 @@ def flash_attention(
     grid = (bh, sq_p // block_q, sk_p // block_k)
     mask3 = key_mask[:, None, :]  # (BH, 1, Sk)
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(
             _flash_kernel,
             scale=1.0 / (d**0.5),
@@ -184,11 +198,20 @@ def flash_attention(
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (1, block_q, d), lambda b, i, j: (b, i, 0),
-            memory_space=pltpu.VMEM,
+        out_specs=(
+            pl.BlockSpec(
+                (1, block_q, d), lambda b, i, j: (b, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, block_q), lambda b, i, j: (b, i),
+                memory_space=pltpu.VMEM,
+            ),
         ),
-        out_shape=jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, sq_p), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -199,35 +222,261 @@ def flash_attention(
         ),
         interpret=interpret,
     )(q, k, v, mask3)
+    if return_lse:
+        return out[:, :sq, :], lse[:, :sq]
     return out[:, :sq, :]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _flash_attention_diff(q, k, v, key_mask, causal):
-    return flash_attention(q, k, v, key_mask=key_mask, causal=causal)
-
-
-def _flash_fwd(q, k, v, key_mask, causal):
-    out = flash_attention(q, k, v, key_mask=key_mask, causal=causal)
-    return out, (q, k, v, key_mask)
-
-
-def _flash_bwd(causal, residuals, g):
-    # Backward via the SDPA formulation (recompute scores; XLA fuses the
-    # chain). Materializes (S, S) in the backward only — the forward stays
-    # flash. A Pallas backward kernel is the follow-up optimization.
-    q, k, v, key_mask = residuals
-    _, vjp = jax.vjp(
-        lambda q, k, v: scaled_dot_product_attention(
-            q, k, v, key_mask=key_mask, causal=causal
-        ),
-        q, k, v,
+def _causal_zero(p, i, j, block_q, block_k):
+    rows = (
+        jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        + i * block_q
     )
-    dq, dk, dv = vjp(g)
+    cols = (
+        jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        + j * block_k
+    )
+    return jnp.where(cols <= rows, p, 0.0)
+
+
+def _rebuild_p(q, k, mask_ref, lse_ref, i, j, scale, causal,
+               block_q, block_k):
+    """Recompute the softmax block p = exp(s - lse) with masks as zeroing
+    (never -inf: exp overflow on masked lanes is discarded by the where)."""
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (bq, bk)
+    lse = lse_ref[0][:, None]  # (bq, 1)
+    p = jnp.where(mask_ref[0] > 0, jnp.exp(s - lse), 0.0)
+    if causal:
+        p = _causal_zero(p, i, j, block_q, block_k)
+    return p
+
+
+def _flash_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, mask_ref, lse_ref, delta_ref, do_ref, dq_ref,
+    acc_scratch,
+    *, scale: float, causal: bool, block_q: int, block_k: int,
+):
+    i, j = pl.program_id(1), pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    block_live = (
+        jnp.asarray(True)
+        if not causal
+        else (j * block_k <= i * block_q + block_q - 1)
+    )
+
+    @pl.when(block_live)
+    def _body():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        do = do_ref[0].astype(jnp.float32)
+        p = _rebuild_p(
+            q, k, mask_ref, lse_ref, i, j, scale, causal, block_q, block_k
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bq, bk)
+        ds = p * (dp - delta_ref[0][:, None]) * scale
+        acc_scratch[:] += jnp.dot(
+            ds, k, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(j == nk - 1)
+    def _finalize():
+        dq_ref[0] = acc_scratch[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, mask_ref, lse_ref, delta_ref, do_ref,
+    dk_ref, dv_ref, dk_scratch, dv_scratch,
+    *, scale: float, causal: bool, block_q: int, block_k: int,
+):
+    j, i = pl.program_id(1), pl.program_id(2)  # k block fixed, q blocks scanned
+    nq = pl.num_programs(2)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_scratch[:] = jnp.zeros_like(dk_scratch)
+        dv_scratch[:] = jnp.zeros_like(dv_scratch)
+
+    block_live = (
+        jnp.asarray(True)
+        if not causal
+        else (j * block_k <= i * block_q + block_q - 1)
+    )
+
+    @pl.when(block_live)
+    def _body():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        do = do_ref[0].astype(jnp.float32)
+        p = _rebuild_p(
+            q, k, mask_ref, lse_ref, i, j, scale, causal, block_q, block_k
+        )
+        dv_scratch[:] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # p^T @ do: (bk, d)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta_ref[0][:, None]) * scale
+        dk_scratch[:] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # ds^T @ q: (bk, d)
+
+    @pl.when(i == nq - 1)
+    def _finalize():
+        dk_ref[0] = dk_scratch[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scratch[:].astype(dv_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("causal", "block_q", "block_k", "interpret")
+)
+def _flash_backward_impl(
+    q, k, v, key_mask, out, lse, g,
+    causal: bool = False,
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: bool = False,
+):
+    """Blockwise (flash) backward: dq/dk/dv without materializing (S, S).
+
+    p is rebuilt per block from the forward's saved log-sum-exp; delta =
+    rowsum(dO * O) is a cheap elementwise reduction done here in XLA. Two
+    kernels: dq scans K blocks per Q block; dk/dv scan Q blocks per K block —
+    both keep fp32 accumulators in VMEM and skip dead causal blocks like the
+    forward. Peak memory is O(S*D), not O(S^2).
+    """
+    bh, sq, d = q.shape
+    sk = k.shape[1]
+    block_q = min(block_q, sq)
+    block_k = min(block_k, sk)
+    pad_q = (-sq) % block_q
+    pad_k = (-sk) % block_k
+    if key_mask is None:
+        key_mask = jnp.ones((bh, sk), jnp.float32)
+    key_mask = key_mask.astype(jnp.float32)
+    delta = jnp.sum(
+        g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    )  # (BH, Sq)
+    if pad_q:
+        q = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, pad_q), (0, 0)))
+        lse = jnp.pad(lse, ((0, 0), (0, pad_q)))
+        delta = jnp.pad(delta, ((0, 0), (0, pad_q)))
+    if pad_k:
+        k = jnp.pad(k, ((0, 0), (0, pad_k), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad_k), (0, 0)))
+        key_mask = jnp.pad(key_mask, ((0, 0), (0, pad_k)))
+    sq_p, sk_p = sq + pad_q, sk + pad_k
+    nq, nk = sq_p // block_q, sk_p // block_k
+    mask3 = key_mask[:, None, :]  # (BH, 1, Sk)
+    kwargs = dict(
+        scale=1.0 / (d**0.5), causal=causal,
+        block_q=block_q, block_k=block_k,
+    )
+
+    q_at_i = pl.BlockSpec(
+        (1, block_q, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    kv_at_j = pl.BlockSpec(
+        (1, block_k, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM
+    )
+    mask_at_j = pl.BlockSpec(
+        (1, 1, block_k), lambda b, i, j: (b, 0, j), memory_space=pltpu.VMEM
+    )
+    row_at_i = pl.BlockSpec(
+        (1, block_q), lambda b, i, j: (b, i), memory_space=pltpu.VMEM
+    )
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, **kwargs),
+        grid=(bh, nq, nk),
+        in_specs=[q_at_i, kv_at_j, kv_at_j, mask_at_j, row_at_i, row_at_i,
+                  q_at_i],
+        out_specs=q_at_i,
+        out_shape=jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, mask3, lse, delta, g)
+
+    # dk/dv grid: (bh, k blocks, q blocks) — index maps see (b, j, i).
+    q_at_i2 = pl.BlockSpec(
+        (1, block_q, d), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    kv_at_j2 = pl.BlockSpec(
+        (1, block_k, d), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM
+    )
+    mask_at_j2 = pl.BlockSpec(
+        (1, 1, block_k), lambda b, j, i: (b, 0, j), memory_space=pltpu.VMEM
+    )
+    row_at_i2 = pl.BlockSpec(
+        (1, block_q), lambda b, j, i: (b, i), memory_space=pltpu.VMEM
+    )
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, **kwargs),
+        grid=(bh, nk, nq),
+        in_specs=[q_at_i2, kv_at_j2, kv_at_j2, mask_at_j2, row_at_i2,
+                  row_at_i2, q_at_i2],
+        out_specs=(kv_at_j2, kv_at_j2),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, sk_p, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, sk_p, d), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, mask3, lse, delta, g)
+    return dq[:, :sq], dk[:, :sk], dv[:, :sk]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def flash_attention_diff(q, k, v, key_mask, causal, interpret=False):
+    return flash_attention(
+        q, k, v, key_mask=key_mask, causal=causal, interpret=interpret
+    )
+
+
+def _flash_fwd(q, k, v, key_mask, causal, interpret):
+    out, lse = flash_attention(
+        q, k, v, key_mask=key_mask, causal=causal, interpret=interpret,
+        return_lse=True,
+    )
+    return out, (q, k, v, key_mask, out, lse)
+
+
+def _flash_bwd(causal, interpret, residuals, g):
+    q, k, v, key_mask, out, lse = residuals
+    dq, dk, dv = _flash_backward_impl(
+        q, k, v, key_mask, out, lse, g, causal=causal, interpret=interpret
+    )
     return dq, dk, dv, None
 
 
-_flash_attention_diff.defvjp(_flash_fwd, _flash_bwd)
+flash_attention_diff.defvjp(_flash_fwd, _flash_bwd)
+
+# Backward-compatible alias (attention() and round-1 call sites).
+_flash_attention_diff = flash_attention_diff
 
 
 def attention(

@@ -38,6 +38,50 @@ def test_flash_matches_sdpa_interpret(rng):
         )
 
 
+def test_flash_backward_matches_sdpa_grads(rng):
+    """Blockwise Pallas backward == autodiff through dense SDPA (VERDICT #3).
+
+    Exercises padding (non-multiple seq lens), key masking, and causal
+    block-skipping in interpret mode.
+    """
+    from deep_recommenders_tpu.ops.attention import flash_attention_diff
+
+    bh, sq, sk, d = 2, 70, 90, 32
+    q = jnp.asarray(rng.normal(size=(bh, sq, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(bh, sk, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(bh, sk, d)).astype(np.float32))
+    mask = jnp.asarray((rng.random((bh, sk)) < 0.8).astype(np.float32))
+    # One fully-masked row: its output and grads must be exactly zero.
+    mask = mask.at[1, :].set(0.0)
+    g_out = jnp.asarray(rng.normal(size=(bh, sq, d)).astype(np.float32))
+
+    for causal in (False, True):
+        def ref_loss(q, k, v):
+            out = scaled_dot_product_attention(
+                q, k, v, key_mask=mask, causal=causal
+            )
+            return jnp.sum(out * g_out)
+
+        def flash_loss(q, k, v):
+            out = flash_attention_diff(q, k, v, mask, causal, True)
+            return jnp.sum(out * g_out)
+
+        dq_r, dk_r, dv_r = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+        dq_f, dk_f, dv_f = jax.grad(flash_loss, argnums=(0, 1, 2))(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(dq_f), np.asarray(dq_r), atol=3e-5, rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(dk_f), np.asarray(dk_r), atol=3e-5, rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(dv_f), np.asarray(dv_r), atol=3e-5, rtol=1e-4
+        )
+        # Fully-masked batch row: zero grads everywhere it touches.
+        np.testing.assert_allclose(np.asarray(dk_f[1]), 0.0, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(dv_f[1]), 0.0, atol=1e-7)
+
+
 def test_sdpa_causal_property(rng):
     """Causal: output at position t must not depend on tokens after t."""
     bh, s, d = 2, 16, 8
