@@ -19,8 +19,33 @@ from typing import Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from deep_recommenders_tpu.models.common import MLP
+from deep_recommenders_tpu.parallel.sharding import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    with_sharding,
+)
+
+
+def shard_expert_params(params, mesh, *, model_axis: str = MODEL_AXIS):
+    """Expert-parallel placement: shard every stacked expert param over the
+    mesh model axis along its leading (expert) dim.
+
+    The vmapped expert params all carry a leading E axis (mmoe.py batched
+    contraction), so EP is just P("model", None, ...) on that axis — the
+    same pattern as the row-sharded embedding table. Requires num_experts %
+    |model| == 0. Returns a new params tree with the expert subtree
+    device_put under the sharding.
+    """
+    def _put(x):
+        spec = P(model_axis, *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    out = jax.tree.map(lambda x: x, params)  # fresh containers, same leaves
+    out["params"]["experts"] = jax.tree.map(_put, out["params"]["experts"])
+    return out
 
 
 class MMoE(nn.Module):
@@ -29,6 +54,10 @@ class MMoE(nn.Module):
     expert_hidden: Tuple[int, ...] = (256,)
     expert_dim: int = 128
     tower_hidden: Tuple[int, ...] = (64,)
+    # When True, constrain the expert axis to the mesh "model" axis so the
+    # batched expert contraction runs expert-parallel (params placed by
+    # shard_expert_params); gates/towers stay data-parallel.
+    expert_parallel: bool = False
 
     @nn.compact
     def __call__(
@@ -45,6 +74,13 @@ class MMoE(nn.Module):
             axis_size=self.num_experts,
         )(self.expert_hidden, output_dim=self.expert_dim, name="experts")
         expert_out = experts(x, training)  # (B, E, H)
+        if self.expert_parallel:
+            # Each model-axis shard computes its resident experts only; the
+            # gate mixture below contracts over E, which GSPMD completes
+            # with a psum over "model" — the EP exchange of SURVEY §2.7.
+            expert_out = with_sharding(
+                expert_out, P(DATA_AXIS, MODEL_AXIS, None)
+            )
 
         outputs = []
         for task in range(self.num_tasks):
