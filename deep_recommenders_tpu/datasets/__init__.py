@@ -1,8 +1,11 @@
 from deep_recommenders_tpu.datasets.cora import Cora
 from deep_recommenders_tpu.datasets.movielens import (
+    CORPUS_COLUMNS,
     MovielensRanking,
     default_movielens_features,
     load_ml1m,
+    read_corpus,
+    serialize_corpus,
     synthesize_ml1m,
 )
 from deep_recommenders_tpu.datasets.synthetic_multitask import (

@@ -92,14 +92,18 @@ def load_ml1m(datadir: str, seed: int = 42) -> Dict[str, np.ndarray]:
         u_gender = np.empty(max_u, dtype=object)
         u_age = np.zeros(max_u, np.int64)
         u_occ = np.zeros(max_u, np.int64)
+        u_zip = np.empty(max_u, dtype=object)
         for k, row in users.items():
             i = int(k)
             u_gender[i] = row["Gender"]
             u_age[i] = int(row["Age"])
             u_occ[i] = int(row["Occupation"])
+            u_zip[i] = row["Zip-code"]
         m_genres = np.empty(max_m, dtype=object)
+        m_title = np.empty(max_m, dtype=object)
         for k, row in movies.items():
             m_genres[int(k)] = tuple(row["Genres"].split("|"))
+            m_title[int(k)] = row["Title"]
         uid = np.char.mod("%d", uid_i).astype(object)
         mid = np.char.mod("%d", mid_i).astype(object)
         rating = rating_arr
@@ -107,11 +111,14 @@ def load_ml1m(datadir: str, seed: int = 42) -> Dict[str, np.ndarray]:
         gender = u_gender[uid_i]
         age = u_age[uid_i]
         occ = u_occ[uid_i]
+        zipcode = u_zip[uid_i]
+        title = m_title[mid_i]
         genres = m_genres[mid_i]
         n = len(uid)
     else:
         uid, mid, rating, ts = [], [], [], []
         gender, age, occ, genres = [], [], [], []
+        zipcode, title = [], []
         with open(ratings_path, "r", encoding="unicode_escape") as f:
             for line in f:
                 u, m, r, t = line.strip().split("::")
@@ -123,6 +130,8 @@ def load_ml1m(datadir: str, seed: int = 42) -> Dict[str, np.ndarray]:
                 gender.append(urow["Gender"])
                 age.append(int(urow["Age"]))
                 occ.append(int(urow["Occupation"]))
+                zipcode.append(urow["Zip-code"])
+                title.append(mrow["Title"])
                 genres.append(tuple(mrow["Genres"].split("|")))
         n = len(uid)
     rng = np.random.default_rng(seed)
@@ -140,6 +149,8 @@ def load_ml1m(datadir: str, seed: int = 42) -> Dict[str, np.ndarray]:
         "Gender": _take(gender),
         "Age": np.asarray(age, dtype=np.int64)[perm],
         "Occupation": np.asarray(occ, dtype=np.int64)[perm],
+        "Zip-code": _take(zipcode),
+        "Title": _take(title),
         "Genres": _take(genres),
     }
 
@@ -179,6 +190,16 @@ def synthesize_ml1m(
         )
         for k in n_genres
     ]
+    # Zip-code/Title come from an INDEPENDENT stream so adding them (round 2,
+    # full 10-column parity) leaves the round-1 corpus — and every measured
+    # baseline on it — bit-identical.
+    rng_aux = np.random.default_rng(seed + 7919)
+    user_zip = np.char.mod("%05d", rng_aux.integers(0, 100000, num_users))
+    movie_year = rng_aux.integers(1919, 2001, num_movies)
+    movie_title = np.asarray(
+        [f"Movie {m} ({movie_year[m]})" for m in range(num_movies)],
+        dtype=object,
+    )
     # Popularity-skewed sampling of (user, movie) pairs, like real ML-1M.
     movie_pop = rng.zipf(1.4, num_movies).astype(np.float64)
     movie_p = movie_pop / movie_pop.sum()
@@ -204,8 +225,63 @@ def synthesize_ml1m(
         "Occupation": np.asarray(OCCUPATION_VOCAB, dtype=np.int64)[
             user_occ[uid]
         ],
+        "Zip-code": user_zip[uid].astype(object),
+        "Title": movie_title[mid],
         "Genres": np.asarray(movie_genres, dtype=object)[mid],
     }
+
+
+# The reference corpus schema: 10 columns per example
+# (ref deep_recommenders/datasets/movielens.py:116-125 — int64 Age/
+# Occupation/Rating/Timestamp; string UserID/MovieID/Gender/Zip-code/Title;
+# variable-length Genres).
+CORPUS_COLUMNS = (
+    "UserID", "MovieID", "Rating", "Timestamp", "Gender", "Age",
+    "Occupation", "Zip-code", "Title", "Genres",
+)
+_STR_COLUMNS = ("UserID", "MovieID", "Gender", "Zip-code", "Title")
+
+
+def serialize_corpus(raw: Dict[str, np.ndarray], path: str) -> str:
+    """Write the joined corpus as an offline artifact (one .npz file).
+
+    The TPU-framework analog of the reference's ``serialize_tfrecords``
+    (ref movielens.py:65-93): ETL runs once, the artifact holds all 10
+    reference columns, and datasets parse the artifact instead of re-joining
+    .dat files. Variable-length Genres are stored '|'-joined (the raw
+    movies.dat encoding) so the file stays pickle-free.
+    """
+    missing = [c for c in CORPUS_COLUMNS if c not in raw]
+    if missing:
+        raise ValueError(f"corpus missing columns {missing}")
+    cols = {}
+    for c in CORPUS_COLUMNS:
+        if c == "Genres":
+            cols[c] = np.asarray(
+                ["|".join(g) for g in raw[c]], dtype=np.str_
+            )
+        elif c in _STR_COLUMNS:
+            cols[c] = np.asarray(raw[c]).astype(np.str_)
+        else:
+            cols[c] = np.asarray(raw[c], dtype=np.int64)
+    path = os.path.abspath(path)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez_compressed(path, **cols)
+    return path
+
+
+def read_corpus(path: str) -> Dict[str, np.ndarray]:
+    """Load a ``serialize_corpus`` artifact back into raw columns
+    (Genres re-split into tuples)."""
+    with np.load(path, allow_pickle=False) as f:
+        out = {k: f[k] for k in f.files}
+    out["Genres"] = np.asarray(
+        [tuple(s.split("|")) if s else () for s in out["Genres"]],
+        dtype=object,
+    )
+    for c in _STR_COLUMNS:
+        out[c] = out[c].astype(object)
+    return out
 
 
 def default_movielens_features(
@@ -243,6 +319,7 @@ class MovielensRanking:
     batch_size: int = 1024
     train_size: float = 0.8
     datadir: Optional[str] = None
+    corpus_path: Optional[str] = None  # serialize_corpus artifact
     num_ratings: int = NUM_RATINGS
     seed: int = 42
     features: Tuple[Feature, ...] = dataclasses.field(
@@ -263,7 +340,8 @@ class MovielensRanking:
 
             spec_key = hashlib.md5(
                 repr(
-                    (self.features, self.num_ratings, self.seed, self.datadir)
+                    (self.features, self.num_ratings, self.seed,
+                     self.datadir, self.corpus_path)
                 ).encode()
             ).hexdigest()[:12]
             cache_path = os.path.join(
@@ -276,7 +354,9 @@ class MovielensRanking:
                 }
                 self._label = f["__label__"]
         else:
-            if self.datadir and os.path.exists(
+            if self.corpus_path and os.path.exists(self.corpus_path):
+                raw = read_corpus(self.corpus_path)
+            elif self.datadir and os.path.exists(
                 os.path.join(self.datadir, "ratings.dat")
             ):
                 raw = load_ml1m(self.datadir, seed=self.seed)

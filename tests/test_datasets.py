@@ -94,3 +94,58 @@ def test_cora_contract():
         + splits["test"][1].astype(int)
     )
     assert total.max() == 1 and total.sum() == n
+
+
+def test_corpus_ten_column_contract(tmp_path):
+    """Full reference-schema parity: all 10 columns (ref movielens.py:116-125)
+    present, typed, and round-tripping through the offline corpus artifact
+    (serialize_tfrecords analog, ref movielens.py:65-93)."""
+    from deep_recommenders_tpu.datasets import (
+        CORPUS_COLUMNS,
+        read_corpus,
+        serialize_corpus,
+    )
+
+    raw = synthesize_ml1m(num_ratings=300, seed=5)
+    assert set(CORPUS_COLUMNS) <= set(raw)
+    n = len(raw["UserID"])
+    for c in CORPUS_COLUMNS:
+        assert len(raw[c]) == n, c
+    for c in ("Rating", "Timestamp", "Age", "Occupation"):
+        assert np.issubdtype(np.asarray(raw[c]).dtype, np.integer), c
+    for c in ("UserID", "MovieID", "Gender", "Zip-code", "Title"):
+        assert isinstance(raw[c][0], str), c
+    assert all(len(z) == 5 for z in raw["Zip-code"][:20])
+    assert isinstance(raw["Genres"][0], tuple)
+
+    path = serialize_corpus(raw, str(tmp_path / "corpus.npz"))
+    back = read_corpus(path)
+    assert set(back) == set(CORPUS_COLUMNS)
+    np.testing.assert_array_equal(
+        back["Rating"], np.asarray(raw["Rating"], np.int64)
+    )
+    assert list(back["Title"]) == list(raw["Title"])
+    assert list(back["Zip-code"]) == list(raw["Zip-code"])
+    assert [tuple(g) for g in back["Genres"]] == [
+        tuple(g) for g in raw["Genres"]
+    ]
+
+
+def test_ranking_from_corpus_artifact(tmp_path):
+    """MovielensRanking consumes a serialized corpus identically to the
+    in-memory raw columns (the reference's TFRecord-then-parse flow)."""
+    from deep_recommenders_tpu.datasets import serialize_corpus, synthesize_ml1m
+
+    raw = synthesize_ml1m(num_ratings=2000, seed=7)
+    path = serialize_corpus(raw, str(tmp_path / "c.npz"))
+    direct = MovielensRanking(
+        batch_size=64, num_ratings=2000, seed=7, cache_dir=None
+    )
+    via_corpus = MovielensRanking(
+        batch_size=64, corpus_path=path, seed=7, cache_dir=None
+    )
+    (fd, ld) = next(iter(direct.train_batches()))
+    (fc, lc) = next(iter(via_corpus.train_batches()))
+    np.testing.assert_array_equal(ld, lc)
+    for k in fd:
+        np.testing.assert_array_equal(fd[k], fc[k])
