@@ -70,21 +70,23 @@ def bench_ctr(name, model, batch, labels):
 
 
 def report(name, us, b):
-    print(
-        json.dumps(
-            {
-                "model": name,
-                "batch": b,
-                "device_us_per_step": round(us, 1),
-                "examples_per_sec_per_chip": round(b / us * 1e6, 0),
-            }
-        )
-    )
+    row = {
+        "model": name,
+        "batch": b,
+        "device_us_per_step": round(us, 1),
+        "examples_per_sec_per_chip": round(b / us * 1e6, 0),
+    }
+    RESULTS.append(row)
+    print(json.dumps(row))
+
+
+RESULTS = []
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--out", default=None, help="also write results JSON")
     args = ap.parse_args()
     b = args.batch
     rng = np.random.default_rng(0)
@@ -199,6 +201,47 @@ def main():
 
     us = device_us_per_step(tt_step, carry0=(tparams, opt.init(tparams)))
     report("TwoTower(in-batch)", us, br)
+
+    # Transformer: the example config (encoder-only classification head is
+    # what the IMDB example trains; here the full enc-dec seq2seq step).
+    from deep_recommenders_tpu.models.nlp import Transformer, noam_schedule
+    from deep_recommenders_tpu.training.losses import (
+        label_smoothing,
+        softmax_cross_entropy,
+    )
+
+    bt, s, vocab = 256, 128, 8000
+    inp = jnp.asarray(rng.integers(1, vocab, (bt, s)))
+    tgt_in = jnp.asarray(rng.integers(1, vocab, (bt, s)))
+    tgt_out = jnp.asarray(rng.integers(1, vocab, (bt, s)))
+    tx = Transformer(
+        vocab_size=vocab, model_dim=128, num_heads=8,
+        num_encoder_layers=2, num_decoder_layers=2, ffn_dim=512,
+        dropout=0.0,
+    )
+    txp = tx.init(jax.random.PRNGKey(0), inp, tgt_in)
+    tx_opt = optax.adam(noam_schedule(128, warmup_steps=4000))
+
+    def tx_step(carry, _):
+        params, opt_state = carry
+
+        def loss_fn(p):
+            logits = tx.apply(p, inp, tgt_in)
+            onehot = jax.nn.one_hot(tgt_out, vocab)
+            return softmax_cross_entropy(
+                logits, label_smoothing(onehot, 0.1)
+            )
+
+        g = jax.grad(loss_fn)(params)
+        up, opt_state = tx_opt.update(g, opt_state, params)
+        return (optax.apply_updates(params, up), opt_state), None
+
+    us = device_us_per_step(tx_step, carry0=(txp, tx_opt.init(txp)))
+    report(f"Transformer(S={s},d=128,2+2)", us, bt)
+
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(RESULTS, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -40,6 +40,10 @@ from deep_recommenders_tpu.ops.topk import (
 # Registry for save_index/load_index; populated by TopK.__init_subclass__.
 _INDEX_REGISTRY: Dict[str, type] = {}
 
+# Module-level jit so Streaming's per-batch merge compiles once per (shape, k)
+# across ALL queries, instead of a fresh cache per __call__.
+_merge_top_k = jax.jit(merge_top_k, static_argnames=("k",))
+
 
 class TopK:
     """Base class: a queryable top-k index over candidate embeddings.
@@ -211,7 +215,6 @@ class Streaming(TopK):
         best_s = jnp.full((b, k), -jnp.inf, jnp.float32)
         best_i = jnp.full((b, k), -1, jnp.int32)
         offset = 0
-        merge = jax.jit(merge_top_k, static_argnames=("k",))
         for item in self._candidates():
             if isinstance(item, tuple):
                 ids, batch = item
@@ -236,7 +239,7 @@ class Streaming(TopK):
                 i = jnp.concatenate(
                     [i, jnp.full((b, pad), -1, i.dtype)], axis=1
                 )
-            best_s, best_i = merge(best_s, best_i, s, i, k=k)
+            best_s, best_i = _merge_top_k(best_s, best_i, s, i, k=k)
         return best_s, best_i
 
 
