@@ -70,16 +70,16 @@ def build(mesh):
             tbl, table_sharding(mesh)
         )
         state.opt_state = trainer.optimizer.init(state.params)
-        # Pin the carry's mesh shardings so the scan doesn't reshard the
-        # table every iteration.
+        # Pin the carry's mesh shardings (stable scan carry + stable
+        # dispatch signature) and place the state on them so the FIRST
+        # dispatch already matches — otherwise the 2nd dispatch recompiles
+        # mid-timing and the bench measures compile, not steps.
         trainer.set_state_constraint(state)
+        state = trainer.place_state(state)
 
     step = trainer.train_step_fn
 
-    import functools
-
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def run(state):
+    def run_raw(state):
         import jax.numpy as jnp
 
         def body(s, _):
@@ -87,6 +87,15 @@ def build(mesh):
 
         return jax.lax.scan(body, state, jnp.arange(STEPS))
 
+    # Pin out_shardings so chained dispatches keep the input signature —
+    # without this the output spec flips and the 2nd dispatch recompiles
+    # (a one-time multi-second stall that is NOT steady-state step cost).
+    out = trainer.output_shardings()
+    run = jax.jit(
+        run_raw,
+        donate_argnums=(0,),
+        **({"out_shardings": out} if out is not None else {}),
+    )
     return run, state
 
 

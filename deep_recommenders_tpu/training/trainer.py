@@ -26,7 +26,7 @@ from typing import Any, Callable, Dict, Iterable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from deep_recommenders_tpu.parallel.sharding import shard_batch
 from deep_recommenders_tpu.training import metrics as metrics_lib
@@ -134,18 +134,50 @@ class Trainer:
         """Pin the train step's output-state shardings to ``state``'s.
 
         Call after placing params on the mesh (e.g. row-sharding the
-        embedding table) and before tracing any step/scan. Only mesh
-        (NamedSharding) placements are pinned; everything else is left to
-        the compiler. No-op without a mesh.
+        embedding table) and before tracing any step/scan. Mesh
+        (NamedSharding) placements are kept; every other leaf is pinned
+        replicated. No-op without a mesh.
+
+        Why pinning matters: without it GSPMD may emit the updated state
+        with a *different but equivalent* spec (e.g. the row-sharded table
+        comes back as PartitionSpec()), and the next dispatch — whose input
+        signature no longer matches — silently RECOMPILES the step (measured
+        2.5-18 s once per flip on v5e). The constraint is applied inside the
+        step (stable lax.scan carry) AND as jit out_shardings (stable
+        dispatch signature).
         """
         if self.mesh is None:
             return
+        replicated = NamedSharding(self.mesh, PartitionSpec())
         self._state_constraint = jax.tree.map(
             lambda x: x.sharding
             if isinstance(getattr(x, "sharding", None), NamedSharding)
-            else None,
+            else replicated,
             state,
         )
+
+    def output_shardings(self):
+        """``(state_shardings, replicated)`` to pin a step/scan jit's
+        out_shardings (second slot = loss/aux). None without a mesh or
+        before :meth:`set_state_constraint`."""
+        if self._state_constraint is None:
+            return None
+        return (
+            self._state_constraint,
+            NamedSharding(self.mesh, PartitionSpec()),
+        )
+
+    def place_state(self, state: TrainState) -> TrainState:
+        """Place ``state`` exactly on the pinned shardings (captures them
+        first if needed). Use before hand-rolled jit/scan loops so the first
+        dispatch already has the steady-state signature — mixed
+        single-device/NamedSharding leaves otherwise compile a one-off
+        executable that the second dispatch can't reuse."""
+        if self._state_constraint is None:
+            self.set_state_constraint(state)
+        if self._state_constraint is None:  # no mesh
+            return state
+        return jax.device_put(state, self._state_constraint)
 
     def _apply_state_constraint(self, state: TrainState) -> TrainState:
         if self._state_constraint is None:
@@ -201,13 +233,21 @@ class Trainer:
 
         def train_step_dispatch(state, batch, labels):
             # Lazy jit: capture the concrete state's mesh shardings on first
-            # call so the output state keeps them (stable layout, donation
-            # aliases cleanly, no per-dispatch reshard).
+            # call and pin them as out_shardings, so the output state keeps
+            # the input signature (stable layout, donation aliases cleanly,
+            # and — critically — NO silent recompile on the second dispatch
+            # from an output-spec flip).
             if self._train_step_jit is None:
-                if self._state_constraint is None:
-                    self.set_state_constraint(state)
+                # Place the first state exactly on the pinned shardings so
+                # call 1 and call 2 share one executable (otherwise mixed
+                # single-device/NamedSharding input leaves make the first
+                # signature unique -> one wasted recompile).
+                state = self.place_state(state)
+                out = self.output_shardings()
                 self._train_step_jit = jax.jit(
-                    train_step, donate_argnums=(0,)
+                    train_step,
+                    donate_argnums=(0,),
+                    **({"out_shardings": out} if out is not None else {}),
                 )
             return self._train_step_jit(state, batch, labels)
 
@@ -318,8 +358,7 @@ class Trainer:
         train_step_fn = self.train_step_fn
         batch = train_data.batch_size
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def run_epoch(state, perm):
+        def run_epoch_raw(state, perm):
             steps = perm.shape[0] // batch
 
             def body(state, step):
@@ -385,8 +424,17 @@ class Trainer:
                 ) + 1
                 if verbose:
                     print(f"resumed from {latest} (epoch {start_epoch})")
-        if self._state_constraint is None:
-            self.set_state_constraint(state)
+        # Jit AFTER the constraint exists: pinned out_shardings keep every
+        # epoch dispatch on the same executable (no spec-flip recompile),
+        # and the initial state is placed on the same shardings so epoch 0
+        # shares the executable too.
+        state = self.place_state(state)
+        out = self.output_shardings()
+        run_epoch = jax.jit(
+            run_epoch_raw,
+            donate_argnums=(0,),
+            **({"out_shardings": out} if out is not None else {}),
+        )
 
         history = []
         best_metric, best_epoch = -float("inf"), -1

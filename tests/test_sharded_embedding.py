@@ -202,3 +202,33 @@ def test_deepfm_trains_with_explicit_sharded_embeddings(mesh):
         state, loss = trainer.train_step(state, b, l)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_train_step_signature_stable_no_recompile(mesh):
+    """Chained mesh train steps must reuse ONE executable.
+
+    Regression: GSPMD emitted the updated table with an equivalent-but-
+    different spec (P() instead of P('model', None)); the next dispatch's
+    input signature then missed the jit cache and silently recompiled
+    (2.5-18 s per flip on v5e). out_shardings pinning + first-state
+    placement keep every dispatch on the same executable.
+    """
+    ds = MovielensRanking(batch_size=64, num_ratings=2000, seed=3)
+    model = DeepFM(ds.feature_specs, embedding_dim=8, hidden=(16,), mesh=mesh)
+    trainer = Trainer(model, optax.adam(1e-2), mesh=mesh, seed=0)
+    batch, labels = next(iter(ds.train_batches()))
+    b = shard_batch(batch, mesh)
+    l = shard_batch(labels, mesh)
+    state = trainer.init(b)
+    from deep_recommenders_tpu.parallel import table_sharding
+
+    tbl = state.params["params"]["embeddings"]["table"]
+    state.params["params"]["embeddings"]["table"] = jax.device_put(
+        tbl, table_sharding(mesh)
+    )
+    state.opt_state = trainer.optimizer.init(state.params)
+    for _ in range(3):
+        state, loss = trainer.train_step(state, b, l)
+    out_spec = state.params["params"]["embeddings"]["table"].sharding.spec
+    assert tuple(out_spec) == ("model", None)
+    assert trainer._train_step_jit._cache_size() == 1
