@@ -128,7 +128,7 @@ def _flash_kernel(
         # to be finite).
         m, l = m_scratch[:], l_scratch[:]
         lse = jnp.where(l > 0, m + jnp.log(jnp.maximum(l, 1e-30)), 0.0)
-        lse_ref[0] = lse[:, 0]
+        lse_ref[0, 0] = lse[:, 0]
 
 
 @functools.partial(
@@ -203,14 +203,18 @@ def flash_attention(
                 (1, block_q, d), lambda b, i, j: (b, i, 0),
                 memory_space=pltpu.VMEM,
             ),
+            # Row-stat layout (BH, 1, Sq): a (1, 1, block_q) block's last two
+            # dims are (1 == array dim, block_q) — the only legal TPU tiling
+            # for per-row scalars (a (1, block_q) block over (BH, Sq) is
+            # rejected by the Mosaic lowering).
             pl.BlockSpec(
-                (1, block_q), lambda b, i, j: (b, i),
+                (1, 1, block_q), lambda b, i, j: (b, 0, i),
                 memory_space=pltpu.VMEM,
             ),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, sq_p), jnp.float32),
+            jax.ShapeDtypeStruct((bh, 1, sq_p), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -223,7 +227,7 @@ def flash_attention(
         interpret=interpret,
     )(q, k, v, mask3)
     if return_lse:
-        return out[:, :sq, :], lse[:, :sq]
+        return out[:, :sq, :], lse[:, 0, :sq]
     return out[:, :sq, :]
 
 
@@ -246,7 +250,7 @@ def _rebuild_p(q, k, mask_ref, lse_ref, i, j, scale, causal,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # (bq, bk)
-    lse = lse_ref[0][:, None]  # (bq, 1)
+    lse = lse_ref[0, 0][:, None]  # (bq, 1)
     p = jnp.where(mask_ref[0] > 0, jnp.exp(s - lse), 0.0)
     if causal:
         p = _causal_zero(p, i, j, block_q, block_k)
@@ -284,7 +288,7 @@ def _flash_bwd_dq_kernel(
             do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (bq, bk)
-        ds = p * (dp - delta_ref[0][:, None]) * scale
+        ds = p * (dp - delta_ref[0, 0][:, None]) * scale
         acc_scratch[:] += jnp.dot(
             ds, k, preferred_element_type=jnp.float32
         )
@@ -330,7 +334,7 @@ def _flash_bwd_dkv_kernel(
             do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        ds = p * (dp - delta_ref[0][:, None]) * scale
+        ds = p * (dp - delta_ref[0, 0][:, None]) * scale
         dk_scratch[:] += jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -384,6 +388,9 @@ def _flash_backward_impl(
     sq_p, sk_p = sq + pad_q, sk + pad_k
     nq, nk = sq_p // block_q, sk_p // block_k
     mask3 = key_mask[:, None, :]  # (BH, 1, Sk)
+    # Row stats in (BH, 1, Sq) layout — see the forward's lse out_spec note.
+    lse3 = lse[:, None, :]
+    delta3 = delta[:, None, :]
     kwargs = dict(
         scale=1.0 / (d**0.5), causal=causal,
         block_q=block_q, block_k=block_k,
@@ -399,7 +406,7 @@ def _flash_backward_impl(
         (1, 1, block_k), lambda b, i, j: (b, 0, j), memory_space=pltpu.VMEM
     )
     row_at_i = pl.BlockSpec(
-        (1, block_q), lambda b, i, j: (b, i), memory_space=pltpu.VMEM
+        (1, 1, block_q), lambda b, i, j: (b, 0, i), memory_space=pltpu.VMEM
     )
     dq = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, **kwargs),
@@ -413,7 +420,7 @@ def _flash_backward_impl(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q, k, v, mask3, lse, delta, g)
+    )(q, k, v, mask3, lse3, delta3, g)
 
     # dk/dv grid: (bh, k blocks, q blocks) — index maps see (b, j, i).
     q_at_i2 = pl.BlockSpec(
@@ -426,7 +433,7 @@ def _flash_backward_impl(
         (1, 1, block_k), lambda b, j, i: (b, 0, j), memory_space=pltpu.VMEM
     )
     row_at_i2 = pl.BlockSpec(
-        (1, block_q), lambda b, j, i: (b, i), memory_space=pltpu.VMEM
+        (1, 1, block_q), lambda b, j, i: (b, 0, i), memory_space=pltpu.VMEM
     )
     dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_dkv_kernel, **kwargs),
@@ -446,7 +453,7 @@ def _flash_backward_impl(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q, k, v, mask3, lse, delta, g)
+    )(q, k, v, mask3, lse3, delta3, g)
     return dq[:, :sq], dk[:, :sk], dv[:, :sk]
 
 
