@@ -3,6 +3,7 @@ from deep_recommenders_tpu.models.retrieval.factorized_top_k import (
     BruteForce,
     FactorizedTopK,
     InMemoryStreaming,
+    ShardedBruteForce,
     Streaming,
     TopK,
     load_index,

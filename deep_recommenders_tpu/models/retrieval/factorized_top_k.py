@@ -16,8 +16,10 @@ Parity: ref deep_recommenders/keras/models/retrieval/factorized_top_k.py —
 
 No faiss: the reference's ANN index (ref :337-461) crosses into C++ through
 tf.py_function and breaks jit; exact MXU search is faster than IVF at
-MovieLens scale and stays on-device. A sharded exact search (corpus rows
-sharded over the mesh, merge across shards) covers the scale-out case.
+MovieLens scale and stays on-device. ``ShardedBruteForce`` covers the
+scale-out case: corpus rows sharded over the mesh "model" axis, per-shard
+top-k inside one shard_map, cross-shard merge via the same merge algebra
+(ops/topk.sharded_top_k — SURVEY §5.8's last bullet).
 """
 
 from __future__ import annotations
@@ -34,6 +36,7 @@ from deep_recommenders_tpu.ops.topk import (
     chunked_top_k,
     exclude as exclude_op,
     merge_top_k,
+    sharded_top_k,
     top_k_scores,
 )
 
@@ -112,9 +115,14 @@ def save_index(path: str, index: TopK) -> str:
     return path
 
 
-def load_index(path: str, query_model: Optional[Callable] = None) -> TopK:
-    """Rebuild a saved index. ``query_model`` (a callable, not serializable)
-    is re-attached here for indexes that accept one."""
+def load_index(
+    path: str,
+    query_model: Optional[Callable] = None,
+    mesh=None,
+) -> TopK:
+    """Rebuild a saved index. ``query_model`` (a callable) and ``mesh``
+    (a jax.sharding.Mesh) are not serializable; re-attach them here for
+    indexes that accept them (ShardedBruteForce requires ``mesh``)."""
     # ann.py registers its index classes on import
     from deep_recommenders_tpu.models.retrieval import ann  # noqa: F401
 
@@ -125,6 +133,8 @@ def load_index(path: str, query_model: Optional[Callable] = None) -> TopK:
     kwargs = dict(spec["config"])
     if query_model is not None:
         kwargs["query_model"] = query_model
+    if mesh is not None:
+        kwargs["mesh"] = mesh
     idx = cls(**kwargs)
     with np.load(os.path.join(path, "state.npz")) as data:
         return idx.load_state({k: data[k] for k in data.files})
@@ -189,6 +199,121 @@ class BruteForce(TopK):
         return out
 
     def load_state(self, state) -> "BruteForce":
+        ids = state.get("int_identifiers", state.get("str_identifiers"))
+        return self.index(state["candidates"], ids)
+
+
+class ShardedBruteForce(TopK):
+    """Exact search with the corpus row-sharded over the mesh "model" axis.
+
+    The multi-chip BruteForce: ``index`` places candidate rows sharded
+    P("model", None) (each chip holds N/S rows of HBM), ``__call__`` runs
+    ops/topk.sharded_top_k — per-shard local matmul + top-k inside one
+    shard_map, ONE psum carrying the (B, S*k) partials, cross-shard merge
+    with the Streaming merge algebra (ref factorized_top_k.py:215-233
+    applied across shards instead of dataset batches; SURVEY §5.8).
+
+    Results are bit-identical to single-device BruteForce on the same
+    corpus. ``queries_data_sharded`` supports calling inside a data-parallel
+    eval step with the query batch sharded over "data".
+    """
+
+    def __init__(
+        self,
+        mesh,
+        query_model: Optional[Callable] = None,
+        queries_data_sharded: bool = False,
+        model_axis: str = "model",
+        data_axis: str = "data",
+    ):
+        self._mesh = mesh
+        self._query_model = query_model
+        self._queries_data_sharded = queries_data_sharded
+        self._model_axis = model_axis
+        self._data_axis = data_axis
+        self._candidates = None  # (N_padded, D), sharded P(model, None)
+        self._num_valid = 0
+        self._identifiers = None  # np object/str array or None
+        self._int_identifiers = None  # device int array or None
+
+    def index(self, candidates, identifiers=None) -> "ShardedBruteForce":
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        cand = np.asarray(candidates)
+        self._num_valid = cand.shape[0]
+        n_model = self._mesh.shape[self._model_axis]
+        pad = (-cand.shape[0]) % n_model
+        if pad:
+            cand = np.concatenate(
+                [cand, np.zeros((pad, cand.shape[1]), cand.dtype)], axis=0
+            )
+        self._candidates = jax.device_put(
+            cand,
+            NamedSharding(self._mesh, PartitionSpec(self._model_axis, None)),
+        )
+        if identifiers is None:
+            self._identifiers = None
+            self._int_identifiers = None
+        else:
+            ids = np.asarray(identifiers)
+            if ids.shape[0] != self._num_valid:
+                raise ValueError(
+                    "identifiers/candidates length mismatch: "
+                    f"{ids.shape[0]} vs {self._num_valid}"
+                )
+            if np.issubdtype(ids.dtype, np.integer):
+                self._int_identifiers = jnp.asarray(ids)
+                self._identifiers = None
+            else:
+                self._identifiers = ids
+                self._int_identifiers = None
+        return self
+
+    def __call__(self, queries, k: int = 10):
+        if self._candidates is None:
+            raise ValueError("index() must be called before querying")
+        queries = jnp.asarray(queries)
+        if self._query_model is not None:
+            queries = self._query_model(queries)
+        scores, indices = sharded_top_k(
+            queries,
+            self._candidates,
+            k,
+            self._mesh,
+            num_valid=self._num_valid,
+            model_axis=self._model_axis,
+            data_axis=self._data_axis,
+            queries_data_sharded=self._queries_data_sharded,
+        )
+        # Sentinel id -1 (only when k > corpus size) wraps on gather; the
+        # matching -inf score marks those slots invalid, as in Streaming.
+        if self._int_identifiers is not None:
+            return scores, jnp.take(self._int_identifiers, indices)
+        if self._identifiers is not None:
+            return scores, np.take(
+                self._identifiers, np.asarray(indices), axis=0, mode="wrap"
+            )
+        return scores, indices
+
+    def config(self) -> dict:
+        return {
+            "queries_data_sharded": self._queries_data_sharded,
+            "model_axis": self._model_axis,
+            "data_axis": self._data_axis,
+        }
+
+    def state_dict(self) -> Dict[str, np.ndarray]:
+        if self._candidates is None:
+            raise ValueError("index() must be called before saving")
+        out = {
+            "candidates": np.asarray(self._candidates)[: self._num_valid]
+        }
+        out.update(
+            _identifier_state(self._int_identifiers, self._identifiers)
+        )
+        return out
+
+    def load_state(self, state) -> "ShardedBruteForce":
         ids = state.get("int_identifiers", state.get("str_identifiers"))
         return self.index(state["candidates"], ids)
 

@@ -21,6 +21,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 def top_k_scores(
@@ -95,6 +96,102 @@ def chunked_top_k(
         step, init, (chunks, jnp.arange(num_chunks))
     )
     return scores, indices
+
+
+def sharded_top_k(
+    queries: jax.Array,
+    candidates: jax.Array,
+    k: int,
+    mesh: Mesh,
+    *,
+    num_valid: Optional[int] = None,
+    model_axis: str = "model",
+    data_axis: str = "data",
+    queries_data_sharded: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k with the CORPUS row-sharded over the mesh ``model_axis``.
+
+    The scale-out form of the reference's Streaming merge-reduce
+    (ref factorized_top_k.py:215-233, SURVEY §5.8): the merge algebra is
+    associative, so instead of folding over dataset batches it folds over
+    mesh shards. Inside one shard_map each model-axis shard scores its
+    resident corpus rows (one local MXU matmul) and takes a local top-k;
+    the (B, k) partials are then exchanged with ONE psum over ``model_axis``
+    (each shard deposits its partial into its own slot of a zero-initialized
+    (B, S*k) buffer — disjoint slots, so the sum is a concatenation that the
+    SPMD type system accepts as replicated) and a final top_k over the
+    (B, S*k) merged state selects the global winners. Only the k winners per
+    shard cross the interconnect — ICI traffic is (B, S*k), independent of
+    corpus size.
+
+    Args:
+      queries: (B, D). Replicated by default; set ``queries_data_sharded``
+        when B is sharded over ``data_axis`` (e.g. inside a data-parallel
+        eval step) — partials then stay local to each data shard.
+      candidates: (N_padded, D) with N_padded divisible by the model-axis
+        size (pad rows are masked via ``num_valid``).
+      num_valid: true corpus size N <= N_padded; rows at or beyond it score
+        -inf. Defaults to N_padded.
+      k: number of results; capped at num_valid by the caller if desired
+        (padding partials carry -inf scores / id -1).
+
+    Returns (scores, indices), each (B, k); indices are GLOBAL corpus rows.
+    """
+    n_pad, _ = candidates.shape
+    n_model = mesh.shape[model_axis]
+    if n_pad % n_model:
+        raise ValueError(
+            f"candidate rows ({n_pad}) must divide the model axis "
+            f"({n_model}); pad the corpus first"
+        )
+    n_valid = n_pad if num_valid is None else num_valid
+    shard_rows = n_pad // n_model
+    k_local = min(k, shard_rows)
+
+    if queries_data_sharded:
+        q_spec = P(data_axis, None)
+        out_specs = (P(data_axis, None), P(data_axis, None))
+    else:
+        q_spec = P()
+        out_specs = (P(), P())
+
+    def _fn(q, cand_shard):
+        shard = jax.lax.axis_index(model_axis)
+        base = shard * shard_rows
+        scores = jnp.dot(
+            q, cand_shard.T, preferred_element_type=jnp.float32
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + base
+        scores = jnp.where(col < n_valid, scores, -jnp.inf)
+        s, local_i = jax.lax.top_k(scores, k_local)
+        i = jnp.take_along_axis(col, local_i, axis=1)
+        i = jnp.where(jnp.isinf(s), -1, i)  # masked rows -> sentinel id
+        b = s.shape[0]
+        if k_local < k:
+            s = jnp.concatenate(
+                [s, jnp.full((b, k - k_local), -jnp.inf, jnp.float32)], 1
+            )
+            i = jnp.concatenate(
+                [i, jnp.full((b, k - k_local), -1, i.dtype)], 1
+            )
+        # Disjoint-slot deposit + psum == cross-shard concat of partials.
+        buf_s = jax.lax.dynamic_update_slice(
+            jnp.zeros((b, n_model * k), jnp.float32), s, (0, shard * k)
+        )
+        buf_i = jax.lax.dynamic_update_slice(
+            jnp.zeros((b, n_model * k), i.dtype), i, (0, shard * k)
+        )
+        all_s = jax.lax.psum(buf_s, model_axis)
+        all_i = jax.lax.psum(buf_i, model_axis)
+        top_s, idx = jax.lax.top_k(all_s, k)
+        return top_s, jnp.take_along_axis(all_i, idx, axis=1)
+
+    return jax.shard_map(
+        _fn,
+        mesh=mesh,
+        in_specs=(q_spec, P(model_axis, None)),
+        out_specs=out_specs,
+    )(queries, candidates)
 
 
 def exclude(
