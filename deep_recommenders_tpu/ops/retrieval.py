@@ -131,3 +131,58 @@ def in_batch_retrieval_loss(
     if sample_weight is not None:
         per_row = per_row * sample_weight.reshape(-1)
     return jnp.sum(per_row)
+
+
+def pod_retrieval_loss(
+    query_embeddings: jax.Array,
+    candidate_embeddings: jax.Array,
+    mesh,
+    sample_weight: Optional[jax.Array] = None,
+    candidate_sampling_probability: Optional[jax.Array] = None,
+    candidate_ids: Optional[jax.Array] = None,
+    num_hard_negatives: Optional[int] = None,
+    temperature: Optional[float] = None,
+    data_axis: str = "data",
+) -> jax.Array:
+    """Pod-wide in-batch negatives as ONE shard_map over the data axis.
+
+    The trainable multi-chip configuration of the reference's
+    labels = eye(B) loss (ref sbcnm.py:129-134 / BASELINE.json north star
+    "pod-wide in-batch negatives via all-gather"): embeddings arrive sharded
+    over ``data_axis``; inside the shard_map each data shard all-gathers the
+    candidate block over ICI (in_batch_retrieval_loss's ``axis_name`` path),
+    scores its local queries against the GLOBAL candidate pool, and the
+    summed per-shard CE is psum-reduced — numerically identical to the
+    single-device loss over the global batch. Differentiable end to end
+    (the all_gather transposes to a reduce-scatter of candidate grads).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    optional = {
+        "sample_weight": sample_weight,
+        "candidate_sampling_probability": candidate_sampling_probability,
+        "candidate_ids": candidate_ids,
+    }
+    names = [k for k, v in optional.items() if v is not None]
+    args = [query_embeddings, candidate_embeddings] + [
+        optional[k] for k in names
+    ]
+
+    def _fn(*vals):
+        kw = dict(zip(names, vals[2:]))
+        loss = in_batch_retrieval_loss(
+            vals[0],
+            vals[1],
+            num_hard_negatives=num_hard_negatives,
+            temperature=temperature,
+            axis_name=data_axis,
+            **kw,
+        )
+        return jax.lax.psum(loss, data_axis)
+
+    in_specs = tuple(
+        P(data_axis, *([None] * (jnp.asarray(v).ndim - 1))) for v in args
+    )
+    return jax.shard_map(
+        _fn, mesh=mesh, in_specs=in_specs, out_specs=P()
+    )(*args)
