@@ -76,9 +76,13 @@ class DCN(nn.Module):
     projection_dim: Optional[int] = None
     hidden: Tuple[int, ...] = (256, 128)
     structure: str = "stacked"  # "stacked" | "parallel"
+    # Optional jax.sharding.Mesh: fused shard_map embedding exchange.
+    mesh: object = None
 
     def setup(self):
-        self.embeddings = EmbeddingCollection(self.specs, self.embedding_dim)
+        self.embeddings = EmbeddingCollection(
+            self.specs, self.embedding_dim, mesh=self.mesh
+        )
         self.crosses = [
             Cross(projection_dim=self.projection_dim)
             for _ in range(self.num_cross_layers)

@@ -56,14 +56,21 @@ class FMLayer(nn.Module):
 
 
 class FactorizationMachine(nn.Module):
-    """End-to-end FM over categorical features -> (B, 1) logits."""
+    """End-to-end FM over categorical features -> (B, 1) logits.
+
+    ``mesh``: optional jax.sharding.Mesh — embedding + first-order weights
+    ride ONE fused shard_map exchange (table row-sharded over "model").
+    """
 
     specs: Tuple[Feature, ...]
     embedding_dim: int = 16
+    mesh: object = None
 
     def setup(self):
         self.linear = LinearTerms(self.specs)
-        self.embeddings = EmbeddingCollection(self.specs, self.embedding_dim)
+        self.embeddings = EmbeddingCollection(
+            self.specs, self.embedding_dim, mesh=self.mesh
+        )
 
     def __call__(self, batch, training: bool = False) -> jax.Array:
         del training

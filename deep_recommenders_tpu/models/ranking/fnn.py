@@ -33,10 +33,14 @@ class FNN(nn.Module):
     specs: Tuple[Feature, ...]
     embedding_dim: int = 16
     hidden: Tuple[int, ...] = (256, 128, 64)
+    # Optional jax.sharding.Mesh: fused shard_map embedding exchange.
+    mesh: object = None
 
     def setup(self):
         self.linear = LinearTerms(self.specs)
-        self.embeddings = EmbeddingCollection(self.specs, self.embedding_dim)
+        self.embeddings = EmbeddingCollection(
+            self.specs, self.embedding_dim, mesh=self.mesh
+        )
         self.deep = MLP(self.hidden, output_dim=1)
 
     def __call__(self, batch, training: bool = False) -> jax.Array:

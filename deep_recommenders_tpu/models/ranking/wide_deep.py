@@ -32,6 +32,11 @@ class WideDeep(nn.Module):
     wide_specs: Tuple[Spec, ...]  # typically deep_specs + crossed features
     embedding_dim: int = 16
     hidden: Tuple[int, ...] = (256, 128, 64)
+    # Optional jax.sharding.Mesh: the deep embedding table (and, in the
+    # fused-wide configuration, the deep features' first-order weights that
+    # ride along it) go through the shard_map exchange. The wide extras'
+    # scalar table stays replicated — it is tiny by construction.
+    mesh: object = None
 
     def setup(self):
         # When the wide side covers all the deep features (+ extras such as
@@ -52,7 +57,9 @@ class WideDeep(nn.Module):
             )
         else:
             self.wide = LinearTerms(self.wide_specs)
-        self.embeddings = EmbeddingCollection(self.deep_specs, self.embedding_dim)
+        self.embeddings = EmbeddingCollection(
+            self.deep_specs, self.embedding_dim, mesh=self.mesh
+        )
         self.deep = MLP(self.hidden, output_dim=1)
 
     def __call__(self, batch, training: bool = False) -> jax.Array:

@@ -98,10 +98,15 @@ class XDeepFM(nn.Module):
     cin_feature_maps: Tuple[int, ...] = (128, 128)
     cin_activation: str = "relu"
     hidden: Tuple[int, ...] = (256, 128)
+    # Optional jax.sharding.Mesh: embedding table through the shard_map
+    # exchange; the scalar LinearTerms table stays replicated (tiny).
+    mesh: object = None
 
     def setup(self):
         self.linear = LinearTerms(self.specs)
-        self.embeddings = EmbeddingCollection(self.specs, self.embedding_dim)
+        self.embeddings = EmbeddingCollection(
+            self.specs, self.embedding_dim, mesh=self.mesh
+        )
         self.cins = [
             CIN(feature_map=m, activation=self.cin_activation)
             for m in self.cin_feature_maps

@@ -171,6 +171,116 @@ def test_deepfm_mesh_step_matches_dense(mesh, rng):
         )
 
 
+def _zoo_cases():
+    """(name, model factory) pairs for the mesh= parity sweep (VERDICT #6:
+    every ranking model reuses fused_embedding_linear/EmbeddingCollection's
+    mesh branch, so the parity bar is the same as DeepFM's)."""
+    from deep_recommenders_tpu.features import CrossedFeature
+    from deep_recommenders_tpu.models.ranking import (
+        DCN,
+        FNN,
+        FactorizationMachine,
+        WideDeep,
+        XDeepFM,
+    )
+
+    specs = (
+        Feature("u", hash_buckets=300),
+        Feature("g", vocab=("F", "M")),
+        Feature("m", hash_buckets=400),
+        Feature("tags", vocab=tuple(range(18)), max_len=4),
+    )
+    wide = specs + (
+        CrossedFeature("uxm", keys=("u", "m"), hash_buckets=64),
+    )
+    return [
+        ("fm", lambda mesh: FactorizationMachine(
+            specs, embedding_dim=8, mesh=mesh)),
+        ("fnn", lambda mesh: FNN(
+            specs, embedding_dim=8, hidden=(16,), mesh=mesh)),
+        ("wdl", lambda mesh: WideDeep(
+            specs, wide, embedding_dim=8, hidden=(16,), mesh=mesh)),
+        ("dcn", lambda mesh: DCN(
+            specs, embedding_dim=8, num_cross_layers=2, hidden=(16,),
+            mesh=mesh)),
+        ("xdeepfm", lambda mesh: XDeepFM(
+            specs, embedding_dim=8, cin_feature_maps=(8,), hidden=(16,),
+            mesh=mesh)),
+    ]
+
+
+@pytest.mark.parametrize(
+    "name,factory", _zoo_cases(), ids=[n for n, _ in _zoo_cases()]
+)
+def test_ranking_zoo_mesh_step_matches_dense(mesh, rng, name, factory):
+    """Loss + full gradient parity, meshed vs dense, across the zoo."""
+    b = 16
+    batch = {
+        "u": rng.integers(0, 300, b).astype(np.int32),
+        "g": rng.integers(0, 3, b).astype(np.int32),
+        "m": rng.integers(0, 400, b).astype(np.int32),
+        "tags": rng.integers(0, 19, (b, 4)).astype(np.int32),
+        "tags__wt": (rng.random((b, 4)) < 0.8).astype(np.float32),
+    }
+    if name == "wdl":
+        # The crossed feature arrives pre-hashed like any other id column.
+        batch["uxm"] = rng.integers(0, 64, b).astype(np.int32)
+    labels = (rng.random((b, 1)) < 0.5).astype(np.float32)
+
+    dense_model = factory(None)
+    meshed_model = factory(mesh)
+    params = dense_model.init(jax.random.PRNGKey(0), batch)
+    sh_params = jax.tree.map(
+        np.array, meshed_model.init(jax.random.PRNGKey(0), batch)
+    )
+    # Graft dense params into the mesh tree (embedding table vocab-padded).
+    d = jax.tree.map(np.asarray, params)
+
+    def _graft(dst, src):
+        for key, val in src.items():
+            if isinstance(val, dict):
+                _graft(dst[key], val)
+            elif dst[key].shape == val.shape:
+                dst[key][:] = val
+            else:  # padded table
+                dst[key][:] = 0.0
+                dst[key][: val.shape[0]] = val
+
+    _graft(sh_params, d)
+    sh_params = jax.tree.map(jnp.asarray, sh_params)
+
+    def loss_fn(model):
+        def f(p):
+            logits = model.apply(p, batch)
+            return jnp.mean(
+                optax.sigmoid_binary_cross_entropy(logits, labels)
+            )
+        return f
+
+    l_dense, g_dense = jax.value_and_grad(loss_fn(dense_model))(params)
+    l_mesh, g_mesh = jax.value_and_grad(loss_fn(meshed_model))(sh_params)
+    np.testing.assert_allclose(float(l_mesh), float(l_dense), rtol=1e-5)
+
+    flat_d = dict(jax.tree_util.tree_flatten_with_path(g_dense)[0])
+    flat_m = dict(jax.tree_util.tree_flatten_with_path(g_mesh)[0])
+    assert flat_d.keys() == flat_m.keys()
+    for path, leaf_d in flat_d.items():
+        leaf_m = np.asarray(flat_m[path])
+        leaf_d = np.asarray(leaf_d)
+        if leaf_m.shape != leaf_d.shape:  # padded table gradient
+            v = leaf_d.shape[0]
+            np.testing.assert_allclose(
+                leaf_m[:v], leaf_d, rtol=1e-4, atol=1e-6,
+                err_msg=f"{name}:{path}",
+            )
+            np.testing.assert_allclose(leaf_m[v:], 0.0, atol=1e-7)
+        else:
+            np.testing.assert_allclose(
+                leaf_m, leaf_d, rtol=1e-4, atol=1e-6,
+                err_msg=f"{name}:{path}",
+            )
+
+
 def test_deepfm_trains_with_explicit_sharded_embeddings(mesh):
     ds = MovielensRanking(batch_size=64, num_ratings=2000, seed=3)
 
