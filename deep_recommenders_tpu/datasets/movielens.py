@@ -462,6 +462,20 @@ class MovielensRanking:
             for s in range(len(idx) // b):
                 yield self._pair_view(idx[s * b : (s + 1) * b])
 
+    def retrieval_arrays(self, split: str = "train"):
+        """Every positive (user, item) pair of the split as numpy dicts,
+        plus the paired movie ids (two-tower ``labels``: candidate ids for
+        accidental-negative removal). The whole-split form of
+        :meth:`retrieval_batches`, for DeviceData/fit_device."""
+        if split == "train":
+            pos = np.flatnonzero(self._label[: self._n_train, 0] > 0.5)
+        else:
+            pos = self._n_train + np.flatnonzero(
+                self._label[self._n_train :, 0] > 0.5
+            )
+        user, item = self._pair_view(pos)
+        return user, item, self._data["movie_id"][pos]
+
     def user_specs(self) -> Tuple[Feature, ...]:
         return tuple(f for f in self.features if f.name in self.USER_KEYS)
 

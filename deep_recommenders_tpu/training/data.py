@@ -14,7 +14,7 @@ boundary.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -23,18 +23,26 @@ import numpy as np
 
 @dataclasses.dataclass
 class DeviceData:
-    """Encoded feature dict + labels resident on device."""
+    """Encoded features + labels resident on device.
 
-    features: Dict[str, jax.Array]
-    labels: jax.Array
+    ``features`` is any pytree of row-aligned arrays — a feature dict
+    (CTR models), a bare (N, d) array (MMoE's synthetic task), or a
+    (query_dict, candidate_dict) tuple (two-tower) — so every model
+    family rides the same Trainer.fit_device scan. ``labels`` may be a
+    pytree too (multi-task) or carry candidate ids (two-tower's
+    accidental-negative removal).
+    """
+
+    features: Any
+    labels: Any
     batch_size: int
     mesh: object = None  # jax.sharding.Mesh when the split is mesh-global
 
     @classmethod
     def from_numpy(
         cls,
-        features: Dict[str, np.ndarray],
-        labels: np.ndarray,
+        features: Any,
+        labels: Any,
         batch_size: int,
         sharding=None,
         mesh=None,
@@ -64,15 +72,18 @@ class DeviceData:
         else:
             put = jax.device_put
         return cls(
-            features={k: put(v) for k, v in features.items()},
-            labels=put(labels),
+            features=jax.tree.map(put, features),
+            labels=jax.tree.map(put, labels),
             batch_size=batch_size,
             mesh=mesh,
         )
 
     @property
     def num_examples(self) -> int:
-        return int(self.labels.shape[0])
+        leaves = jax.tree.leaves(self.labels) or jax.tree.leaves(
+            self.features
+        )
+        return int(leaves[0].shape[0])
 
     @property
     def steps_per_epoch(self) -> int:
@@ -100,5 +111,7 @@ class DeviceData:
 
     def gather(self, rows: jax.Array):
         """Device-side batch materialization (jit-safe)."""
-        batch = {k: jnp.take(v, rows, axis=0) for k, v in self.features.items()}
-        return batch, jnp.take(self.labels, rows, axis=0)
+        take = lambda v: jnp.take(v, rows, axis=0)  # noqa: E731
+        return jax.tree.map(take, self.features), jax.tree.map(
+            take, self.labels
+        )

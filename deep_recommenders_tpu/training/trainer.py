@@ -29,7 +29,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from deep_recommenders_tpu.parallel.sharding import shard_batch
-from deep_recommenders_tpu.training import metrics as metrics_lib
+from deep_recommenders_tpu.training.evaluation import BinaryCTREval
 from deep_recommenders_tpu.training.losses import binary_cross_entropy
 
 
@@ -100,15 +100,21 @@ class Trainer:
         mesh: Optional[Mesh] = None,
         seed: int = 42,
         has_dropout: bool = False,
+        eval_spec=None,
     ):
+        """``loss_fn(params, batch, labels, rngs) -> scalar`` defaults to
+        sigmoid BCE on the model's logits; ``eval_spec`` (an object with
+        jit-safe init/update + host compute — see training/evaluation.py)
+        defaults to the CTR program (AUC/P/R/val_loss). Together they make
+        the SAME fit/fit_device loop serve multitask (MMoE/ESMM) and
+        two-tower models, not just binary CTR."""
         self.model = model
         self.optimizer = optimizer
         self.loss_fn = loss_fn or bce_loss(model)
         self.mesh = mesh
         self.seed = seed
         self.has_dropout = has_dropout
-        self._auc = metrics_lib.AUC()
-        self._pr = metrics_lib.PrecisionRecall()
+        self.eval_spec = eval_spec or BinaryCTREval(model)
         # Pytree of shardings pinning the train-step OUTPUT state layout to
         # the input's (see set_state_constraint). Without it, GSPMD is free
         # to emit the updated params replicated — flipping a mesh-sharded
@@ -121,8 +127,11 @@ class Trainer:
     # -- state ------------------------------------------------------------
     def init(self, sample_batch) -> TrainState:
         batch = jax.tree.map(jnp.asarray, sample_batch)
+        # Tuple batches (e.g. two-tower's (query_batch, candidate_batch))
+        # unpack into the model's positional args.
+        args = batch if isinstance(batch, tuple) else (batch,)
         params = self.model.init(
-            jax.random.PRNGKey(self.seed), batch, training=False
+            jax.random.PRNGKey(self.seed), *args, training=False
         )
         opt_state = self.optimizer.init(params)
         return TrainState(
@@ -217,17 +226,10 @@ class Trainer:
             )
             return self._apply_state_constraint(new_state), loss
 
-        model, auc, pr = self.model, self._auc, self._pr
+        eval_spec = self.eval_spec
 
         def eval_step(params, batch, labels, metric_state):
-            logits = model.apply(params, batch, training=False)
-            probs = jax.nn.sigmoid(logits)
-            loss = binary_cross_entropy(logits, labels)
-            return {
-                "auc": auc.update(metric_state["auc"], labels, probs),
-                "pr": pr.update(metric_state["pr"], labels, probs),
-                "loss": metrics_lib.Mean.update(metric_state["loss"], loss),
-            }
+            return eval_spec.update(params, batch, labels, metric_state)
 
         self.train_step_fn = train_step  # unjitted (for scan/custom loops)
 
@@ -295,7 +297,10 @@ class Trainer:
                 if state is None:
                     state = self.init(batch)
                 state, loss = self.train_step(state, batch, labels)
-                examples += labels.shape[0]
+                # Labels may be a pytree or None (e.g. two-tower); count the
+                # batch's leading dim from whichever side has leaves.
+                leaves = jax.tree.leaves(labels) or jax.tree.leaves(batch)
+                examples += leaves[0].shape[0]
                 step = int(state.step)
                 if verbose and log_every and step % log_every == 0:
                     elapsed = time.perf_counter() - t0
@@ -371,8 +376,7 @@ class Trainer:
 
             return jax.lax.scan(body, state, jnp.arange(steps))
 
-        auc, pr = self._auc, self._pr
-        model = self.model
+        eval_spec = self.eval_spec
 
         @jax.jit
         def run_eval(params, perm):
@@ -383,21 +387,11 @@ class Trainer:
                     perm, step * batch, batch
                 )
                 b, labels = eval_data.gather(rows)
-                logits = model.apply(params, b, training=False)
-                probs = jax.nn.sigmoid(logits)
-                loss = binary_cross_entropy(logits, labels)
-                return {
-                    "auc": auc.update(mstate["auc"], labels, probs),
-                    "pr": pr.update(mstate["pr"], labels, probs),
-                    "loss": metrics_lib.Mean.update(mstate["loss"], loss),
-                }, None
+                return eval_spec.update(params, b, labels, mstate), None
 
-            init = {
-                "auc": auc.init(),
-                "pr": pr.init(),
-                "loss": metrics_lib.Mean.init(),
-            }
-            mstate, _ = jax.lax.scan(body, init, jnp.arange(steps))
+            mstate, _ = jax.lax.scan(
+                body, eval_spec.init(), jnp.arange(steps)
+            )
             return mstate
 
         # Init from the first batch — or resume from the latest checkpoint
@@ -463,13 +457,7 @@ class Trainer:
             if eval_data is not None:
                 eval_perm = eval_data.permutation(None, 0)
                 mstate = run_eval(state.params, eval_perm)
-                prc = pr.compute(mstate["pr"])
-                summary.update(
-                    auc=float(auc.compute(mstate["auc"])),
-                    precision=float(prc["precision"]),
-                    recall=float(prc["recall"]),
-                    val_loss=float(metrics_lib.Mean.compute(mstate["loss"])),
-                )
+                summary.update(eval_spec.compute(mstate))
                 metric = _monitor_value(summary, monitor, monitor_mode)
                 if metric > best_metric:
                     best_metric, best_epoch = metric, epoch
@@ -495,19 +483,9 @@ class Trainer:
         }
 
     def evaluate(self, params, eval_batches) -> Dict[str, float]:
-        metric_state = {
-            "auc": self._auc.init(),
-            "pr": self._pr.init(),
-            "loss": metrics_lib.Mean.init(),
-        }
+        metric_state = self.eval_spec.init()
         for batch, labels in eval_batches():
             batch = self._put(batch)
             labels = self._put(labels)
             metric_state = self.eval_step(params, batch, labels, metric_state)
-        pr = self._pr.compute(metric_state["pr"])
-        return {
-            "auc": float(self._auc.compute(metric_state["auc"])),
-            "precision": float(pr["precision"]),
-            "recall": float(pr["recall"]),
-            "val_loss": float(metrics_lib.Mean.compute(metric_state["loss"])),
-        }
+        return self.eval_spec.compute(metric_state)

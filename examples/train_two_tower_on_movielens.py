@@ -4,6 +4,12 @@ The retrieval-stack headline config (BASELINE.json): user tower vs movie
 tower, Retrieval loss over in-batch negatives with temperature, evaluated
 with the FactorizedTopK accuracy bank (k in {1, 5, 10, 50, 100}) against the
 full movie corpus (exact MXU search, no faiss).
+
+Runs through the shared Trainer: device-resident epoch scans over the
+positive-pair split (DeviceData of (user, item) tuple batches), in-batch
+FactorizedTopK + retrieval val_loss per epoch (RetrievalEval), checkpoint/
+resume via --checkpoint-dir. The full-corpus recall pass at the end stays a
+separate offline step because the corpus embedding depends on the params.
 """
 
 from __future__ import annotations
@@ -11,11 +17,9 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
 import numpy as np
 import optax
 
@@ -24,6 +28,12 @@ from deep_recommenders_tpu.models.retrieval import (
     FactorizedTopK,
     Retrieval,
     TwoTower,
+)
+from deep_recommenders_tpu.training import (
+    DeviceData,
+    RetrievalEval,
+    Trainer,
+    retrieval_loss,
 )
 
 
@@ -38,6 +48,7 @@ def main():
     p.add_argument("--temperature", type=float, default=0.1)
     p.add_argument("--learning-rate", type=float, default=0.05)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--checkpoint-dir", default=None)
     args = p.parse_args()
 
     print("Loading MovieLens ...")
@@ -47,6 +58,11 @@ def main():
         num_ratings=args.num_ratings,
         seed=args.seed,
     )
+    user, item, ids = ds.retrieval_arrays("train")
+    train = DeviceData.from_numpy((user, item), ids, args.batch_size)
+    euser, eitem, eids = ds.retrieval_arrays("test")
+    evald = DeviceData.from_numpy((euser, eitem), eids, args.batch_size)
+
     model = TwoTower(
         ds.user_specs(),
         ds.item_specs(),
@@ -55,45 +71,28 @@ def main():
         output_dim=args.output_dim,
     )
     task = Retrieval(temperature=args.temperature)
-    opt = optax.adagrad(args.learning_rate)
-
-    qb, cb = next(iter(ds.retrieval_batches()))
-    params = model.init(jax.random.PRNGKey(args.seed), qb, cb)
-    opt_state = opt.init(params)
-
-    @jax.jit
-    def train_step(params, opt_state, qb, cb):
-        def loss_fn(p):
-            qe, ce = model.apply(p, qb, cb, training=True)
-            return task(qe, ce)
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
-
-    t0 = time.perf_counter()
-    examples = step = 0
-    for epoch in range(args.epochs):
-        for qb, cb in ds.retrieval_batches(shuffle_seed=args.seed + epoch):
-            params, opt_state, loss = train_step(params, opt_state, qb, cb)
-            examples += args.batch_size
-            step += 1
-            if step % 200 == 0:
-                el = time.perf_counter() - t0
-                print(
-                    f"step {step} loss {float(loss):.3f} "
-                    f"({examples / el:.0f} ex/s)"
-                )
-        print(f"epoch {epoch} loss {float(loss):.3f}")
+    trainer = Trainer(
+        model,
+        optax.adagrad(args.learning_rate),
+        loss_fn=retrieval_loss(model, task),
+        eval_spec=RetrievalEval(model, task),
+        seed=args.seed,
+    )
+    result = trainer.fit_device(
+        train,
+        eval_data=evald,
+        epochs=args.epochs,
+        shuffle_seed=args.seed,
+        monitor="val_loss",
+        monitor_mode="min",
+        checkpoint_dir=args.checkpoint_dir,
+    )
+    params = result["state"].params
 
     # Eval: recall@k of the true watched movie against the full movie corpus.
     # Unique movies across the test positives, vectorized via np.unique.
-    item_cols = [cb_ for _, cb_ in ds.retrieval_batches(split="test")]
-    stacked = {
-        k: np.concatenate([c[k] for c in item_cols]) for k in item_cols[0]
-    }
-    _, first_rows = np.unique(stacked["movie_id"], return_index=True)
-    corpus_batch = {k: v[first_rows] for k, v in stacked.items()}
+    _, first_rows = np.unique(eitem["movie_id"], return_index=True)
+    corpus_batch = {k: v[first_rows] for k, v in eitem.items()}
     corpus_emb = model.apply(
         params, corpus_batch, method=lambda m, b: m.candidate_tower(b)
     )
