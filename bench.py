@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -26,9 +27,89 @@ SCAN_STEPS = 64   # steps fused into one device-resident lax.scan
 SCAN_REPEATS = 8  # timed scan invocations (total steps = 64 * 8)
 
 
+def verify_kernels():
+    """Small-shape Pallas-kernel oracle asserts on the bench chip.
+
+    A fast subset of tests/tpu/test_kernel_oracles.py wired into the
+    driver-run bench so a Mosaic lowering/numerics regression fails the
+    round's bench rc loudly instead of shipping a wrong kernel (VERDICT r2
+    Missing #4). No-op off TPU.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        return
+    from deep_recommenders_tpu.ops.attention import (
+        flash_attention_diff,
+        scaled_dot_product_attention,
+    )
+    from deep_recommenders_tpu.ops.cin_kernels import (
+        _cin2d_reference,
+        cin2d,
+    )
+    from deep_recommenders_tpu.ops.embedding_kernels import (
+        factored_scatter_add,
+    )
+    from deep_recommenders_tpu.ops.fm import (
+        fm_interaction,
+        fm_interaction_pallas,
+    )
+
+    rng = np.random.default_rng(0)
+
+    q = jnp.asarray(rng.normal(0, 1, (2, 256, 64)).astype(np.float32))
+    kv = jnp.asarray(rng.normal(0, 1, (2, 256, 64)).astype(np.float32))
+    mask = jnp.ones((2, 256), jnp.float32)
+    ct = jnp.asarray(rng.normal(0, 1, (2, 256, 64)).astype(np.float32))
+    out = flash_attention_diff(q, kv, kv, mask, True)
+    ref = scaled_dot_product_attention(q, kv, kv, key_mask=mask, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-3, atol=5e-3)
+    g = jax.grad(
+        lambda a: jnp.sum(flash_attention_diff(a, kv, kv, mask, True) * ct)
+    )(q)
+    gr = jax.grad(
+        lambda a: jnp.sum(
+            scaled_dot_product_attention(a, kv, kv, key_mask=mask,
+                                         causal=True) * ct
+        )
+    )(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr),
+                               rtol=1e-2, atol=1e-2)
+
+    x0v = jnp.asarray(rng.normal(0, 1, (512, 6)).astype(np.float32))
+    xv = jnp.asarray(rng.normal(0, 1, (512, 64)).astype(np.float32))
+    w = jnp.asarray(rng.normal(0, 0.2, (6, 64, 128)).astype(np.float32))
+    cref = np.asarray(_cin2d_reference(x0v, xv, w))
+    scale = float(np.abs(cref).max())
+    np.testing.assert_allclose(np.asarray(cin2d(x0v, xv, w)), cref,
+                               atol=2e-2 * scale, rtol=2e-2)
+
+    gsc = jnp.asarray(rng.normal(0, 1, (4096, 16)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, 500, 4096).astype(np.int32))
+    sref = jnp.zeros((500, 16), jnp.float32).at[ids].add(
+        gsc.astype(jnp.bfloat16).astype(jnp.float32)
+    )
+    np.testing.assert_allclose(
+        np.asarray(factored_scatter_add(gsc, ids, 500)),
+        np.asarray(sref), atol=1e-3, rtol=1e-3,
+    )
+
+    emb = jnp.asarray(rng.normal(0, 1, (512, 6, 16)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(fm_interaction_pallas(emb)),
+        np.asarray(fm_interaction(emb)), rtol=1e-5, atol=1e-4,
+    )
+    # stderr: the driver parses stdout's single JSON line
+    print("kernel oracles: ok", file=sys.stderr)
+
+
 def main():
     import jax
     import optax
+
+    verify_kernels()
 
     from deep_recommenders_tpu.features import Feature
     from deep_recommenders_tpu.models.ranking import DeepFM

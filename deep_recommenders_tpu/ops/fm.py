@@ -36,7 +36,12 @@ def _fm_kernel(emb_ref, out_ref, *, num_fields: int):
     x = emb_ref[:].astype(jnp.float32)  # (TB, F, D)
     sum_v = jnp.sum(x, axis=1)  # (TB, D)
     sum_sq = jnp.sum(jnp.square(sum_v), axis=-1, keepdims=True)
-    sq_sum = jnp.sum(jnp.square(x), axis=(1, 2)).reshape(-1, 1)
+    # Staged >=2-D reductions: a single axis=(1, 2) reduce yields a rank-1
+    # intermediate that crashes Mosaic's layout inference (layout.h
+    # "arr.size() >= layout_rank" check — found by tests/tpu on-chip).
+    sq_sum = jnp.sum(
+        jnp.sum(jnp.square(x), axis=1), axis=-1, keepdims=True
+    )
     out_ref[:] = 0.5 * (sum_sq - sq_sum)
 
 

@@ -20,7 +20,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# DRT_TEST_PLATFORM=tpu lifts the CPU pin so tests/tpu/ (the on-chip kernel
+# oracle suite) can run against the real Mosaic-compiled kernels; everything
+# else still defaults to the 8-device virtual CPU platform.
+if os.environ.get("DRT_TEST_PLATFORM", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
