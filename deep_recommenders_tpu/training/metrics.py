@@ -23,9 +23,16 @@ import jax.numpy as jnp
 
 @dataclasses.dataclass(frozen=True)
 class AUC:
-    """Streaming ROC-AUC over sigmoid scores in [0, 1]."""
+    """Streaming ROC-AUC over sigmoid scores in [0, 1].
+
+    The threshold grid spans [0, 1], so raw logits fed here would produce a
+    plausible-looking but wrong value. Pass ``from_logits=True`` to sigmoid
+    inside the update; otherwise predictions are clipped to [0, 1] (a no-op
+    for probabilities, and a guard against small numeric overshoot).
+    """
 
     num_thresholds: int = 200
+    from_logits: bool = False
 
     def init(self) -> Dict[str, jax.Array]:
         # Distinct buffers per counter: these states are donated in jitted
@@ -36,9 +43,14 @@ class AUC:
         return {"tp": z(), "fp": z(), "tn": z(), "fn": z()}
 
     def update(self, state, labels: jax.Array, predictions: jax.Array):
-        """labels/predictions: (B,) or (B, 1) in [0, 1]."""
+        """labels: (B,) or (B, 1); predictions: same shape, probabilities in
+        [0, 1] (or logits with ``from_logits=True``)."""
         labels = labels.reshape(-1).astype(jnp.float32)
         preds = predictions.reshape(-1)
+        if self.from_logits:
+            preds = jax.nn.sigmoid(preds)
+        else:
+            preds = jnp.clip(preds, 0.0, 1.0)
         # Threshold grid mirroring tf.metrics.auc: (0, ..., 1) inclusive-ish.
         eps = 1e-7
         thresholds = jnp.linspace(

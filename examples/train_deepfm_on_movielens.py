@@ -39,6 +39,12 @@ def main():
         help="feed batches from host per step instead of the "
         "device-resident fast path",
     )
+    p.add_argument(
+        "--native-loader",
+        action="store_true",
+        help="with --host-streaming: assemble batches in the C++ "
+        "prefetch ring (native/loader.cpp) instead of the Python iterator",
+    )
     args = p.parse_args()
 
     print("Loading MovieLens ...")
@@ -59,10 +65,23 @@ def main():
         model, optax.adam(args.learning_rate), seed=args.seed
     )
     if args.host_streaming:
-        result = trainer.fit(
-            lambda epoch: ds.train_batches(
+        if args.native_loader:
+            from deep_recommenders_tpu.native import NativeStreamLoader
+
+            n_train = ds.train_steps_per_epoch * ds.batch_size
+            loader = NativeStreamLoader(
+                {k: v[:n_train] for k, v in ds._data.items()},
+                ds._label[:n_train],
+                ds.batch_size,
+                seed=args.seed,
+            )
+            train_batches = lambda epoch: loader.epoch_batches()  # noqa: E731
+        else:
+            train_batches = lambda epoch: ds.train_batches(  # noqa: E731
                 epochs=1, shuffle_seed=args.seed + epoch
-            ),
+            )
+        result = trainer.fit(
+            train_batches,
             lambda: ds.test_batches(),
             epochs=args.epochs,
             early_stopping_patience=3,

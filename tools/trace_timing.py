@@ -12,14 +12,28 @@ from tensorflow.tsl.profiler.protobuf import xplane_pb2
 _DIR = "/tmp/jax_trace_util"
 
 
-def device_us_per_step(step_fn, n_steps=64, carry0=None, top=0):
+def device_us_per_step(step_fn, n_steps=64, carry0=None, top=0, cost=False):
     """Scan step_fn (carry, None) -> (carry, None|aux) n_steps times on
-    device, trace it, return total device-plane µs / n_steps."""
+    device, trace it, return total device-plane µs / n_steps.
+
+    With ``cost=True`` returns (us, flops_per_step, bytes_per_step) from
+    XLA's cost analysis of the compiled scan — the roofline numerator/
+    denominator for MFU and HBM-utilization context."""
     if carry0 is None:
         carry0 = jnp.zeros((), jnp.int32)
     f = jax.jit(lambda c: jax.lax.scan(step_fn, c, None, length=n_steps))
     out = f(carry0)
     jax.block_until_ready(out)
+    flops = bytes_ = 0.0
+    if cost:
+        try:
+            ca = f.lower(carry0).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0)) / n_steps
+            bytes_ = float(ca.get("bytes accessed", 0.0)) / n_steps
+        except Exception:
+            pass
     shutil.rmtree(_DIR, ignore_errors=True)
     with jax.profiler.trace(_DIR):
         out = f(carry0)
@@ -45,7 +59,10 @@ def device_us_per_step(step_fn, n_steps=64, carry0=None, top=0):
     if top:
         for k, v in sorted(rows.items(), key=lambda kv: -kv[1])[:top]:
             print(f"    {v/n_steps:9.2f} us/step  {k[:100]}")
-    return total / n_steps
+    us = total / n_steps
+    if cost:
+        return us, flops, bytes_
+    return us
 
 
 def device_op_breakdown(step_fn, n_steps=64, carry0=None, top=20):
