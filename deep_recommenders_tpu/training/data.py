@@ -111,7 +111,17 @@ class DeviceData:
 
     def gather(self, rows: jax.Array):
         """Device-side batch materialization (jit-safe)."""
-        take = lambda v: jnp.take(v, rows, axis=0)  # noqa: E731
-        return jax.tree.map(take, self.features), jax.tree.map(
-            take, self.labels
-        )
+        return gather_rows(self.features, self.labels, rows)
+
+    def arrays(self):
+        """The (features, labels) pytree — pass this as an ARGUMENT to
+        jitted epoch loops (closure-capturing it instead bakes the whole
+        corpus into the HLO as literal constants: slow compiles, and the
+        remote-compile tunnel rejects the request outright past ~500 MB)."""
+        return self.features, self.labels
+
+
+def gather_rows(features: Any, labels: Any, rows: jax.Array):
+    """Batch-gather ``rows`` from row-aligned (features, labels) pytrees."""
+    take = lambda v: jnp.take(v, rows, axis=0)  # noqa: E731
+    return jax.tree.map(take, features), jax.tree.map(take, labels)

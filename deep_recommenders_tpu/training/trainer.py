@@ -360,17 +360,25 @@ class Trainer:
 
         verbose = verbose and jax.process_index() == 0
 
+        from deep_recommenders_tpu.training.data import gather_rows
+
         train_step_fn = self.train_step_fn
         batch = train_data.batch_size
 
-        def run_epoch_raw(state, perm):
+        # The resident split is passed as an ARGUMENT (train_data.arrays()),
+        # never closure-captured: captured device arrays lower to literal
+        # HLO constants, which bloats compiles and overflows the
+        # remote-compile request at large-corpus scale (seen at MMoE's
+        # 512k x 256 f32 split: HTTP 413 from the compile tunnel).
+        def run_epoch_raw(state, perm, data):
+            feats, lbls = data
             steps = perm.shape[0] // batch
 
             def body(state, step):
                 rows = jax.lax.dynamic_slice_in_dim(
                     perm, step * batch, batch
                 )
-                b, l = train_data.gather(rows)
+                b, l = gather_rows(feats, lbls, rows)
                 state, loss = train_step_fn(state, b, l)
                 return state, loss
 
@@ -379,14 +387,15 @@ class Trainer:
         eval_spec = self.eval_spec
 
         @jax.jit
-        def run_eval(params, perm):
+        def run_eval(params, perm, data):
+            feats, lbls = data
             steps = perm.shape[0] // batch
 
             def body(mstate, step):
                 rows = jax.lax.dynamic_slice_in_dim(
                     perm, step * batch, batch
                 )
-                b, labels = eval_data.gather(rows)
+                b, labels = gather_rows(feats, lbls, rows)
                 return eval_spec.update(params, b, labels, mstate), None
 
             mstate, _ = jax.lax.scan(
@@ -436,7 +445,7 @@ class Trainer:
         examples = 0
         for epoch in range(start_epoch, epochs):
             perm = train_data.permutation(shuffle_seed, epoch)
-            state, losses = run_epoch(state, perm)
+            state, losses = run_epoch(state, perm, train_data.arrays())
             examples += int(perm.shape[0])
             if (
                 checkpoint_dir is not None
@@ -456,7 +465,9 @@ class Trainer:
             summary = {"epoch": epoch, "loss": float(losses[-1])}
             if eval_data is not None:
                 eval_perm = eval_data.permutation(None, 0)
-                mstate = run_eval(state.params, eval_perm)
+                mstate = run_eval(
+                    state.params, eval_perm, eval_data.arrays()
+                )
                 summary.update(eval_spec.compute(mstate))
                 metric = _monitor_value(summary, monitor, monitor_mode)
                 if metric > best_metric:
