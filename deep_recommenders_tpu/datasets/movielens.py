@@ -399,6 +399,34 @@ class MovielensRanking:
         feats = {k: v[lo:hi] for k, v in self._data.items()}
         return feats, self._label[lo:hi]
 
+    def train_arrays(
+        self, whole_batches: bool = True
+    ) -> Tuple[Dict[str, np.ndarray], np.ndarray]:
+        """The train split as (features dict, labels) numpy arrays.
+
+        With ``whole_batches`` the split is truncated to a multiple of
+        batch_size (static shapes for jit). Public accessor for loaders
+        that want the raw split (DeviceData, NativeStreamLoader) instead
+        of the batch iterators.
+        """
+        hi = (
+            self.train_steps_per_epoch * self.batch_size
+            if whole_batches
+            else self._n_train
+        )
+        return self._slice(0, hi)
+
+    def test_arrays(
+        self, whole_batches: bool = False
+    ) -> Tuple[Dict[str, np.ndarray], np.ndarray]:
+        """The test split as (features dict, labels) numpy arrays."""
+        hi = (
+            self._n_train + self.test_steps * self.batch_size
+            if whole_batches
+            else self._n
+        )
+        return self._slice(self._n_train, hi)
+
     def train_batches(
         self, epochs: int = 1, shuffle_seed: Optional[int] = None
     ) -> Iterator[Tuple[Dict[str, np.ndarray], np.ndarray]]:

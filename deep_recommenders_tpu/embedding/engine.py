@@ -187,6 +187,10 @@ class EmbeddingCollection(nn.Module):
     specs: Tuple[Feature, ...]
     dim: int
     param_dtype: jnp.dtype = jnp.float32
+    # Mixed precision: compute dtype of the lookup/combine path. Params stay
+    # param_dtype (fp32); with bfloat16 the one-hot bag matmuls and combiner
+    # reductions ride the MXU in bf16 and callers get bf16 rows.
+    compute_dtype: Optional[jnp.dtype] = None
     shard: bool = True  # constrain the fused table to P("model", None)
     mesh: Optional[object] = None  # jax.sharding.Mesh for the explicit path
 
@@ -219,23 +223,28 @@ class EmbeddingCollection(nn.Module):
                 sharded_fused_rows,
             )
 
+            table = self.table
+            if self.compute_dtype is not None:
+                table = table.astype(self.compute_dtype)
             rows = sharded_fused_rows(
-                self.table, self.specs, self._feature_offsets, batch,
+                table, self.specs, self._feature_offsets, batch,
                 self.mesh,
             )  # (B, F, D), SUM-combined — ONE psum for the whole spec set
             b = rows.shape[0]
             denom = jnp.stack(
                 [_mean_denom(s, batch, b) for s in self.specs], axis=1
-            )[..., None]
+            )[..., None].astype(rows.dtype)
             return with_sharding(rows / denom, P(DATA_AXIS, None, None))
 
         table = self.table
+        if self.compute_dtype is not None:
+            table = table.astype(self.compute_dtype)
         if self.shard:
             table = with_sharding(table, P(MODEL_AXIS, None))
         rows, denom = fused_rows(
             table, self.specs, self._feature_offsets, batch
         )
-        stacked = rows / denom  # (B, F, D), combiners applied
+        stacked = rows / denom.astype(rows.dtype)  # (B, F, D), combined
         return with_sharding(stacked, P(DATA_AXIS, None, None))
 
 
@@ -308,6 +317,8 @@ def fused_embedding_linear(
     if embeddings.specs != linear.specs:
         raise ValueError("fused_embedding_linear requires identical specs")
     table = embeddings.table
+    if embeddings.compute_dtype is not None:
+        table = table.astype(embeddings.compute_dtype)
     if embeddings.mesh is None and embeddings.shard:
         table = with_sharding(table, P(MODEL_AXIS, None))
     w = linear.weights
@@ -332,6 +343,8 @@ def fused_embedding_linear(
         rows, denom = fused_rows(
             fused, embeddings.specs, embeddings._feature_offsets, batch
         )
-    stacked = rows[..., :d] / denom
-    first_order = rows[..., d]
+    stacked = rows[..., :d] / denom.astype(rows.dtype)
+    # First-order terms feed the scalar logit directly — keep them fp32 so
+    # the wide sum over features doesn't round in bf16.
+    first_order = rows[..., d].astype(jnp.float32)
     return stacked, first_order

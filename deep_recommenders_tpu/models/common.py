@@ -40,25 +40,35 @@ def resolve_activation(act: Activation) -> Optional[Callable]:
 
 class MLP(nn.Module):
     """Hidden layers with activation (+ optional BN / dropout), then a final
-    linear layer of ``output_dim`` units (omitted when output_dim is None)."""
+    linear layer of ``output_dim`` units (omitted when output_dim is None).
+
+    ``dtype`` is the COMPUTE dtype (mixed precision): params are always
+    stored fp32; with dtype=bfloat16 the matmuls run on the MXU in bf16 and
+    the output is cast back to fp32 at the caller's loss boundary. BatchNorm
+    statistics stay fp32 regardless (flax keeps reductions in fp32 via
+    param_dtype and we pin its dtype to fp32 for numerical safety).
+    """
 
     hidden: Sequence[int]
     output_dim: Optional[int] = 1
     activation: Activation = "relu"
     batch_norm: bool = False
     dropout: Optional[float] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
         act = resolve_activation(self.activation)
         for units in self.hidden:
-            x = nn.Dense(units)(x)
+            x = nn.Dense(units, dtype=self.dtype)(x)
             if act is not None:
                 x = act(x)
             if self.batch_norm:
-                x = nn.BatchNorm(use_running_average=not training)(x)
+                x = nn.BatchNorm(
+                    use_running_average=not training, dtype=jnp.float32
+                )(x)
             if self.dropout:
                 x = nn.Dropout(self.dropout, deterministic=not training)(x)
         if self.output_dim is not None:
-            x = nn.Dense(self.output_dim)(x)
+            x = nn.Dense(self.output_dim, dtype=self.dtype)(x)
         return x

@@ -29,6 +29,9 @@ from deep_recommenders_tpu.ops.attention import attention
 class TokenEmbedding(nn.Module):
     vocab_size: int
     dim: int
+    # Compute dtype (mixed precision): table params stay fp32; lookups and
+    # the tied projection run in this dtype when set.
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, token_ids: jax.Array) -> jax.Array:
@@ -37,15 +40,24 @@ class TokenEmbedding(nn.Module):
             nn.initializers.normal(stddev=1.0),
             (self.vocab_size, self.dim),
         )
-        return jnp.take(table, token_ids, axis=0) * jnp.sqrt(
-            jnp.float32(self.dim)
+        if self.dtype is not None:
+            table = table.astype(self.dtype)
+        return jnp.take(table, token_ids, axis=0) * jnp.asarray(
+            jnp.sqrt(jnp.float32(self.dim)), table.dtype
         )
 
     def attend(self, embeddings: jax.Array) -> jax.Array:
         """Tied pre-softmax projection: logits over the vocab using the same
-        table (ref transformer.py:263-265 weight sharing)."""
+        table (ref transformer.py:263-265 weight sharing). Returns fp32
+        logits (the softmax/loss boundary must not round in bf16)."""
         table = self.get_variable("params", "table")
-        return embeddings @ table.T
+        if self.dtype is not None:
+            table = table.astype(self.dtype)
+            embeddings = embeddings.astype(self.dtype)
+        return jnp.einsum(
+            "...d,vd->...v", embeddings, table,
+            preferred_element_type=jnp.float32,
+        )
 
 
 class MultiHeadAttention(nn.Module):
@@ -54,6 +66,9 @@ class MultiHeadAttention(nn.Module):
     dropout: float = 0.0
     causal: bool = False
     use_flash: Optional[bool] = None
+    # Compute dtype for the Q/K/V/out projections and the attention kernel
+    # (softmax statistics are always fp32 inside both attention paths).
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -82,9 +97,18 @@ class MultiHeadAttention(nn.Module):
                 .reshape(b * h, s, dh)
             )
 
-        q = split_heads(nn.Dense(self.model_dim, name="q_proj")(queries), sq)
-        k = split_heads(nn.Dense(self.model_dim, name="k_proj")(keys), sk)
-        v = split_heads(nn.Dense(self.model_dim, name="v_proj")(values), sk)
+        q = split_heads(
+            nn.Dense(self.model_dim, dtype=self.dtype, name="q_proj")(queries),
+            sq,
+        )
+        k = split_heads(
+            nn.Dense(self.model_dim, dtype=self.dtype, name="k_proj")(keys),
+            sk,
+        )
+        v = split_heads(
+            nn.Dense(self.model_dim, dtype=self.dtype, name="v_proj")(values),
+            sk,
+        )
 
         mask_bh = None
         if key_mask is not None:
@@ -99,7 +123,7 @@ class MultiHeadAttention(nn.Module):
             .transpose(0, 2, 1, 3)
             .reshape(b, sq, self.model_dim)
         )
-        out = nn.Dense(self.model_dim, name="out_proj")(out)
+        out = nn.Dense(self.model_dim, dtype=self.dtype, name="out_proj")(out)
         if self.dropout:
             out = nn.Dropout(self.dropout, deterministic=not training)(out)
         return out

@@ -42,11 +42,14 @@ def position_encoding(seq_len: int, dim: int) -> jax.Array:
 class PositionWiseFeedForward(nn.Module):
     model_dim: int
     inner_dim: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        h = jax.nn.relu(nn.Dense(self.inner_dim, name="inner")(x))
-        return nn.Dense(self.model_dim, name="outer")(h)
+        h = jax.nn.relu(
+            nn.Dense(self.inner_dim, dtype=self.dtype, name="inner")(x)
+        )
+        return nn.Dense(self.model_dim, dtype=self.dtype, name="outer")(h)
 
 
 class EncoderLayer(nn.Module):
@@ -54,18 +57,22 @@ class EncoderLayer(nn.Module):
     model_dim: int
     ffn_dim: int
     dropout: float = 0.0
+    # Compute dtype for attention + FFN matmuls; LayerNorm statistics and
+    # the residual stream stay fp32 (post-norm wiring: LN output is the
+    # stream, so fp32 LN keeps the stream fp32 at every layer boundary).
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, key_mask, training: bool = False):
         attn = MultiHeadAttention(
             self.num_heads, self.model_dim, dropout=self.dropout,
-            name="self_attention",
+            dtype=self.dtype, name="self_attention",
         )(x, x, x, key_mask=key_mask, training=training)
-        x = nn.LayerNorm(name="attn_norm")(x + attn)
+        x = nn.LayerNorm(dtype=jnp.float32, name="attn_norm")(x + attn)
         ffn = PositionWiseFeedForward(
-            self.model_dim, self.ffn_dim, name="ffn"
+            self.model_dim, self.ffn_dim, dtype=self.dtype, name="ffn"
         )(x)
-        return nn.LayerNorm(name="ffn_norm")(x + ffn)
+        return nn.LayerNorm(dtype=jnp.float32, name="ffn_norm")(x + ffn)
 
 
 class DecoderLayer(nn.Module):
@@ -73,6 +80,7 @@ class DecoderLayer(nn.Module):
     model_dim: int
     ffn_dim: int
     dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -80,18 +88,18 @@ class DecoderLayer(nn.Module):
     ):
         self_attn = MultiHeadAttention(
             self.num_heads, self.model_dim, dropout=self.dropout,
-            causal=True, name="self_attention",
+            causal=True, dtype=self.dtype, name="self_attention",
         )(x, x, x, key_mask=self_mask, training=training)
-        x = nn.LayerNorm(name="self_norm")(x + self_attn)
+        x = nn.LayerNorm(dtype=jnp.float32, name="self_norm")(x + self_attn)
         cross = MultiHeadAttention(
             self.num_heads, self.model_dim, dropout=self.dropout,
-            name="cross_attention",
+            dtype=self.dtype, name="cross_attention",
         )(x, memory, memory, key_mask=memory_mask, training=training)
-        x = nn.LayerNorm(name="cross_norm")(x + cross)
+        x = nn.LayerNorm(dtype=jnp.float32, name="cross_norm")(x + cross)
         ffn = PositionWiseFeedForward(
-            self.model_dim, self.ffn_dim, name="ffn"
+            self.model_dim, self.ffn_dim, dtype=self.dtype, name="ffn"
         )(x)
-        return nn.LayerNorm(name="ffn_norm")(x + ffn)
+        return nn.LayerNorm(dtype=jnp.float32, name="ffn_norm")(x + ffn)
 
 
 class Transformer(nn.Module):
@@ -109,29 +117,35 @@ class Transformer(nn.Module):
     num_decoder_layers: int = 2
     ffn_dim: int = 2048
     dropout: float = 0.1
+    # Mixed precision: bfloat16 runs every matmul (projections, attention,
+    # FFN, tied vocab projection) on the MXU in bf16; params, LayerNorm
+    # statistics, the residual stream, and the returned logits stay fp32.
+    compute_dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         self.embedding = TokenEmbedding(
-            self.vocab_size, self.model_dim, name="token_embedding"
+            self.vocab_size, self.model_dim, dtype=self.compute_dtype,
+            name="token_embedding",
         )
         self.encoder_layers = [
             EncoderLayer(
                 self.num_heads, self.model_dim, self.ffn_dim, self.dropout,
-                name=f"encoder_{i}",
+                dtype=self.compute_dtype, name=f"encoder_{i}",
             )
             for i in range(self.num_encoder_layers)
         ]
         self.decoder_layers = [
             DecoderLayer(
                 self.num_heads, self.model_dim, self.ffn_dim, self.dropout,
-                name=f"decoder_{i}",
+                dtype=self.compute_dtype, name=f"decoder_{i}",
             )
             for i in range(self.num_decoder_layers)
         ]
 
     def _embed(self, tokens):
         x = self.embedding(tokens)
-        return x + position_encoding(tokens.shape[1], self.model_dim)[None]
+        pe = position_encoding(tokens.shape[1], self.model_dim)
+        return x + pe[None].astype(x.dtype)
 
     def encode(self, tokens, training: bool = False):
         """tokens: (B, S) int ids -> (B, S, D) encoder memory."""

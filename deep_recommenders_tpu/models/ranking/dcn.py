@@ -13,6 +13,7 @@ from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
+import jax.numpy as jnp
 
 from deep_recommenders_tpu.embedding.engine import EmbeddingCollection
 from deep_recommenders_tpu.features.columns import Feature
@@ -78,17 +79,22 @@ class DCN(nn.Module):
     structure: str = "stacked"  # "stacked" | "parallel"
     # Optional jax.sharding.Mesh: fused shard_map embedding exchange.
     mesh: object = None
+    # Mixed precision (bf16 compute, fp32 params/logits) — see DeepFM.
+    compute_dtype: object = None
 
     def setup(self):
         self.embeddings = EmbeddingCollection(
-            self.specs, self.embedding_dim, mesh=self.mesh
+            self.specs, self.embedding_dim, mesh=self.mesh,
+            compute_dtype=self.compute_dtype,
         )
         self.crosses = [
             Cross(projection_dim=self.projection_dim)
             for _ in range(self.num_cross_layers)
         ]
-        self.deep = MLP(self.hidden, output_dim=None)
-        self.head = nn.Dense(1)
+        self.deep = MLP(
+            self.hidden, output_dim=None, dtype=self.compute_dtype
+        )
+        self.head = nn.Dense(1, dtype=jnp.float32)
 
     def __call__(self, batch, training: bool = False) -> jax.Array:
         stacked = self.embeddings(batch)

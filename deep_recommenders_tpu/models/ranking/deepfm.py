@@ -14,6 +14,7 @@ from typing import Tuple
 
 import flax.linen as nn
 import jax
+import jax.numpy as jnp
 
 from deep_recommenders_tpu.embedding.engine import (
     EmbeddingCollection,
@@ -33,15 +34,21 @@ class DeepFM(nn.Module):
     # Optional jax.sharding.Mesh: routes embedding lookups through the
     # explicit shard_map exchange (row-sharded table over "model").
     mesh: object = None
+    # Mixed precision: bfloat16 runs lookups + deep tower on the MXU in
+    # bf16; params/optimizer state and the returned logits stay fp32 (the
+    # FM sum-square reduction always accumulates fp32, ops/fm.py).
+    compute_dtype: object = None
 
     def setup(self):
         self.linear = LinearTerms(self.specs)
         self.embeddings = EmbeddingCollection(
-            self.specs, self.embedding_dim, mesh=self.mesh
+            self.specs, self.embedding_dim, mesh=self.mesh,
+            compute_dtype=self.compute_dtype,
         )
         self.deep = MLP(
             self.hidden, output_dim=1,
             dropout=self.dropout if self.dropout else None,
+            dtype=self.compute_dtype,
         )
 
     def __call__(self, batch, training: bool = False) -> jax.Array:
@@ -54,4 +61,4 @@ class DeepFM(nn.Module):
         fm_logit = fm_interaction(stacked)
         b = stacked.shape[0]
         deep_logit = self.deep(stacked.reshape(b, -1), training=training)
-        return first_order + fm_logit + deep_logit
+        return first_order + fm_logit + deep_logit.astype(jnp.float32)

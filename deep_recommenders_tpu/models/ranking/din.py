@@ -85,11 +85,53 @@ class DIN(nn.Module):
     Inputs: behavior sequence embeddings (B, T, D) + mask (B, T), candidate
     embedding (B, D), optional extra context features (B, C). Output: (B, 1)
     logits.
+
+    With ``num_items`` set, DIN owns the item-embedding table and the
+    behaviors/candidate inputs are INT IDS ((B, T) / (B,)) instead of
+    vectors. That table is the model's one large parameter; ``mesh`` routes
+    its lookups through the explicit row-sharded shard_map exchange
+    (embedding/sharded.sharded_lookup: resident-rows gather + one psum over
+    "model"), the same tensor-parallel pattern as the rest of the zoo.
     """
 
     attention_units: int = 36
     hidden: Tuple[int, ...] = (200, 80)
     use_dice: bool = True
+    # Optional owned item-embedding table (ids-in mode):
+    num_items: Optional[int] = None
+    embedding_dim: int = 16
+    # Optional jax.sharding.Mesh — requires num_items (the table is what
+    # gets sharded).
+    mesh: object = None
+
+    def _embed_items(self, behaviors: jax.Array, candidate: jax.Array):
+        from deep_recommenders_tpu.parallel.sharding import (
+            MODEL_AXIS,
+            with_sharding,
+        )
+        from jax.sharding import PartitionSpec as P
+
+        n = self.num_items
+        if self.mesh is not None:
+            n_model = self.mesh.shape.get("model", 1)
+            n = -(-n // n_model) * n_model  # pad rows to equal shards
+        table = self.param(
+            "item_table",
+            nn.initializers.normal(stddev=1.0 / jnp.sqrt(self.embedding_dim)),
+            (n, self.embedding_dim),
+        )
+        if self.mesh is not None:
+            from deep_recommenders_tpu.embedding.sharded import sharded_lookup
+
+            return (
+                sharded_lookup(table, behaviors, self.mesh),
+                sharded_lookup(table, candidate, self.mesh),
+            )
+        table = with_sharding(table, P(MODEL_AXIS, None))
+        return (
+            jnp.take(table, behaviors, axis=0),
+            jnp.take(table, candidate, axis=0),
+        )
 
     @nn.compact
     def __call__(
@@ -100,6 +142,11 @@ class DIN(nn.Module):
         context: Optional[jax.Array] = None,
         training: bool = False,
     ) -> jax.Array:
+        if self.mesh is not None and self.num_items is None:
+            raise ValueError("DIN(mesh=...) requires num_items (the sharded "
+                             "item table is what the mesh partitions)")
+        if self.num_items is not None:
+            behaviors, candidate = self._embed_items(behaviors, candidate)
         b, t, d = behaviors.shape
         # Score every (position, candidate) pair in one batched pass.
         unit = ActivationUnit(

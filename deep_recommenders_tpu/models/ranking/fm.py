@@ -65,11 +65,14 @@ class FactorizationMachine(nn.Module):
     specs: Tuple[Feature, ...]
     embedding_dim: int = 16
     mesh: object = None
+    # Mixed precision (bf16 compute, fp32 params/logits) — see DeepFM.
+    compute_dtype: object = None
 
     def setup(self):
         self.linear = LinearTerms(self.specs)
         self.embeddings = EmbeddingCollection(
-            self.specs, self.embedding_dim, mesh=self.mesh
+            self.specs, self.embedding_dim, mesh=self.mesh,
+            compute_dtype=self.compute_dtype,
         )
 
     def __call__(self, batch, training: bool = False) -> jax.Array:

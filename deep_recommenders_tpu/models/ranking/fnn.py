@@ -35,13 +35,16 @@ class FNN(nn.Module):
     hidden: Tuple[int, ...] = (256, 128, 64)
     # Optional jax.sharding.Mesh: fused shard_map embedding exchange.
     mesh: object = None
+    # Mixed precision (bf16 compute, fp32 params/logits) — see DeepFM.
+    compute_dtype: object = None
 
     def setup(self):
         self.linear = LinearTerms(self.specs)
         self.embeddings = EmbeddingCollection(
-            self.specs, self.embedding_dim, mesh=self.mesh
+            self.specs, self.embedding_dim, mesh=self.mesh,
+            compute_dtype=self.compute_dtype,
         )
-        self.deep = MLP(self.hidden, output_dim=1)
+        self.deep = MLP(self.hidden, output_dim=1, dtype=self.compute_dtype)
 
     def __call__(self, batch, training: bool = False) -> jax.Array:
         # Per-feature first-order weights (B, F) + embeddings (B, F, D), in
@@ -50,5 +53,8 @@ class FNN(nn.Module):
             self.embeddings, self.linear, batch
         )
         b = stacked.shape[0]
-        x = jnp.concatenate([first_order, stacked.reshape(b, -1)], axis=1)
-        return self.deep(x, training=training)
+        x = jnp.concatenate(
+            [first_order.astype(stacked.dtype), stacked.reshape(b, -1)],
+            axis=1,
+        )
+        return self.deep(x, training=training).astype(jnp.float32)

@@ -15,6 +15,7 @@ from typing import Tuple, Union
 
 import flax.linen as nn
 import jax
+import jax.numpy as jnp
 
 from deep_recommenders_tpu.embedding.engine import (
     EmbeddingCollection,
@@ -37,6 +38,8 @@ class WideDeep(nn.Module):
     # ride along it) go through the shard_map exchange. The wide extras'
     # scalar table stays replicated — it is tiny by construction.
     mesh: object = None
+    # Mixed precision (bf16 compute, fp32 params/logits) — see DeepFM.
+    compute_dtype: object = None
 
     def setup(self):
         # When the wide side covers all the deep features (+ extras such as
@@ -58,9 +61,10 @@ class WideDeep(nn.Module):
         else:
             self.wide = LinearTerms(self.wide_specs)
         self.embeddings = EmbeddingCollection(
-            self.deep_specs, self.embedding_dim, mesh=self.mesh
+            self.deep_specs, self.embedding_dim, mesh=self.mesh,
+            compute_dtype=self.compute_dtype,
         )
-        self.deep = MLP(self.hidden, output_dim=1)
+        self.deep = MLP(self.hidden, output_dim=1, dtype=self.compute_dtype)
 
     def __call__(self, batch, training: bool = False) -> jax.Array:
         if self._fused_wide:
@@ -75,4 +79,4 @@ class WideDeep(nn.Module):
             stacked = self.embeddings(batch)
         b = stacked.shape[0]
         deep_logit = self.deep(stacked.reshape(b, -1), training=training)
-        return wide_logit + deep_logit
+        return wide_logit + deep_logit.astype(jnp.float32)

@@ -101,18 +101,23 @@ class XDeepFM(nn.Module):
     # Optional jax.sharding.Mesh: embedding table through the shard_map
     # exchange; the scalar LinearTerms table stays replicated (tiny).
     mesh: object = None
+    # Mixed precision (bf16 compute, fp32 params/logits) — see DeepFM. The
+    # CIN Pallas kernel already computes its contractions in bf16 with fp32
+    # accumulation internally; its INPUT stream is fp32 (the kernel casts).
+    compute_dtype: object = None
 
     def setup(self):
         self.linear = LinearTerms(self.specs)
         self.embeddings = EmbeddingCollection(
-            self.specs, self.embedding_dim, mesh=self.mesh
+            self.specs, self.embedding_dim, mesh=self.mesh,
+            compute_dtype=self.compute_dtype,
         )
         self.cins = [
             CIN(feature_map=m, activation=self.cin_activation)
             for m in self.cin_feature_maps
         ]
-        self.deep = MLP(self.hidden, output_dim=1)
-        self.cin_head = nn.Dense(1, use_bias=False)
+        self.deep = MLP(self.hidden, output_dim=1, dtype=self.compute_dtype)
+        self.cin_head = nn.Dense(1, use_bias=False, dtype=jnp.float32)
 
     def __call__(self, batch, training: bool = False) -> jax.Array:
         linear_logit = self.linear(batch)
@@ -120,7 +125,11 @@ class XDeepFM(nn.Module):
         b, f0, d = x0.shape
         # CIN stack in flattened (B*D, F) rows: one transpose in, per-layer
         # outputs stay lane-friendly (M wide), pooling reshapes at the end.
-        x0v = x0.transpose(0, 2, 1).reshape(b * d, f0)
+        # The CIN stack runs fp32-in (the Pallas kernel does bf16 MXU with
+        # fp32 accumulation internally).
+        x0v = (
+            x0.transpose(0, 2, 1).reshape(b * d, f0).astype(jnp.float32)
+        )
         xv, pooled = x0v, []
         for cin in self.cins:
             xv = cin((x0v, xv))  # (B*D, M)
@@ -128,4 +137,4 @@ class XDeepFM(nn.Module):
             pooled.append(xv.reshape(b, d, -1).sum(axis=1))  # (B, M)
         cin_logit = self.cin_head(jnp.concatenate(pooled, axis=-1))
         deep_logit = self.deep(x0.reshape(b, -1), training=training)
-        return linear_logit + cin_logit + deep_logit
+        return linear_logit + cin_logit + deep_logit.astype(jnp.float32)

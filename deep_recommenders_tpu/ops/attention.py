@@ -35,11 +35,17 @@ def scaled_dot_product_attention(
     key_mask: Optional[jax.Array] = None,
     causal: bool = False,
 ) -> jax.Array:
-    """Reference SDPA. q/k/v: (..., S, D); key_mask: (..., S_k) with 1=valid."""
+    """Reference SDPA. q/k/v: (..., S, D); key_mask: (..., S_k) with 1=valid.
+
+    Scores and softmax statistics are computed in fp32 regardless of the
+    input dtype (bf16 mixed precision feeds bf16 q/k/v); the @V contraction
+    runs in the input dtype with fp32 accumulation and the output is cast
+    back to the input dtype.
+    """
     d = q.shape[-1]
-    scores = jnp.einsum("...qd,...kd->...qk", q, k) / jnp.sqrt(
-        jnp.float32(d)
-    ).astype(q.dtype)
+    scores = jnp.einsum(
+        "...qd,...kd->...qk", q, k, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.float32(d))
     if key_mask is not None:
         scores = jnp.where(
             key_mask[..., None, :] > 0, scores, NEG_INF
@@ -54,7 +60,11 @@ def scaled_dot_product_attention(
     # over masked keys — matches the flash kernel's semantics.
     any_valid = jnp.max(scores, axis=-1, keepdims=True) > NEG_INF / 2
     weights = jnp.where(any_valid, weights, 0.0)
-    return jnp.einsum("...qk,...kd->...qd", weights, v)
+    out = jnp.einsum(
+        "...qk,...kd->...qd", weights.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
 
 
 def _flash_kernel(
@@ -486,6 +496,14 @@ flash_attention_diff.defvjp(_flash_fwd, _flash_bwd)
 _flash_attention_diff = flash_attention_diff
 
 
+# Below this key length the fused dense SDPA (one XLA fusion, whole (S, S)
+# matrix in registers/VMEM) beats the flash kernel's block machinery — the
+# (S, S) intermediate is small enough that the O(S^2) memory argument doesn't
+# bite and the Pallas grid overhead dominates. Measured on TPU v5e at
+# d_model=128: dense wins at S<=256, flash wins from S~512 up.
+FLASH_MIN_SEQ = 512
+
+
 def attention(
     q: jax.Array,
     k: jax.Array,
@@ -494,10 +512,13 @@ def attention(
     causal: bool = False,
     use_flash: Optional[bool] = None,
 ) -> jax.Array:
-    """Dispatch: flash kernel on TPU, jnp SDPA elsewhere. Batched heads
-    layout (BH, S, D)."""
+    """Dispatch: flash kernel on TPU for long sequences, fused dense SDPA
+    for short ones and off-TPU. Batched heads layout (BH, S, D)."""
     if use_flash is None:
-        use_flash = jax.default_backend() == "tpu"
+        use_flash = (
+            jax.default_backend() == "tpu"
+            and k.shape[1] >= FLASH_MIN_SEQ
+        )
     if use_flash:
         if key_mask is None:
             key_mask = jnp.ones(k.shape[:2], jnp.float32)

@@ -25,10 +25,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def fm_interaction(embeddings: jax.Array) -> jax.Array:
-    """(B, F, D) stacked feature embeddings -> (B, 1) interaction logit."""
-    sum_v = jnp.sum(embeddings, axis=1)  # (B, D)
+    """(B, F, D) stacked feature embeddings -> (B, 1) interaction logit.
+
+    Reductions accumulate in fp32 regardless of input dtype — under the bf16
+    mixed-precision path the (sum)^2 - sum^2 cancellation is exactly the kind
+    of expression that loses significance in 8-bit mantissas.
+    """
+    sum_v = jnp.sum(embeddings, axis=1, dtype=jnp.float32)  # (B, D)
     sum_sq = jnp.sum(jnp.square(sum_v), axis=-1)  # (B,)
-    sq_sum = jnp.sum(jnp.square(embeddings), axis=(1, 2))  # (B,)
+    sq_sum = jnp.sum(
+        jnp.square(embeddings.astype(jnp.float32)), axis=(1, 2)
+    )  # (B,)
     return (0.5 * (sum_sq - sq_sum))[:, None]
 
 

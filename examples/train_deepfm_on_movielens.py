@@ -46,6 +46,9 @@ def main():
         "prefetch ring (native/loader.cpp) instead of the Python iterator",
     )
     args = p.parse_args()
+    if args.native_loader and not args.host_streaming:
+        p.error("--native-loader requires --host-streaming (the C++ ring "
+                "feeds the per-step host loop, not the device-resident path)")
 
     print("Loading MovieLens ...")
     ds = MovielensRanking(
@@ -68,10 +71,10 @@ def main():
         if args.native_loader:
             from deep_recommenders_tpu.native import NativeStreamLoader
 
-            n_train = ds.train_steps_per_epoch * ds.batch_size
+            train_feats, train_labels = ds.train_arrays()
             loader = NativeStreamLoader(
-                {k: v[:n_train] for k, v in ds._data.items()},
-                ds._label[:n_train],
+                train_feats,
+                train_labels,
                 ds.batch_size,
                 seed=args.seed,
             )
@@ -90,17 +93,10 @@ def main():
     else:
         from deep_recommenders_tpu.training.data import DeviceData
 
-        n_train = ds.train_steps_per_epoch * ds.batch_size
-        train = DeviceData.from_numpy(
-            {k: v[:n_train] for k, v in ds._data.items()},
-            ds._label[:n_train],
-            ds.batch_size,
-        )
-        test = DeviceData.from_numpy(
-            {k: v[ds._n_train :] for k, v in ds._data.items()},
-            ds._label[ds._n_train :],
-            ds.batch_size,
-        )
+        train_feats, train_labels = ds.train_arrays()
+        test_feats, test_labels = ds.test_arrays()
+        train = DeviceData.from_numpy(train_feats, train_labels, ds.batch_size)
+        test = DeviceData.from_numpy(test_feats, test_labels, ds.batch_size)
         result = trainer.fit_device(
             train, test, epochs=args.epochs,
             shuffle_seed=args.seed, early_stopping_patience=3,

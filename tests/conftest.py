@@ -26,6 +26,15 @@ import jax  # noqa: E402
 if os.environ.get("DRT_TEST_PLATFORM", "cpu") == "cpu":
     jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite's wall time is dominated by XLA
+# compiles of the shard_map mesh-parity programs (20-45s each). Warm runs
+# reuse them, which is what makes the one-command suite habitually runnable
+# (VERDICT r3 Next #2).
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".cache", "jax-tests")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,5 +1,7 @@
 """Explicit shard_map embedding-exchange tests on the 8-device CPU mesh."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -209,9 +211,27 @@ def _zoo_cases():
     ]
 
 
-@pytest.mark.parametrize(
-    "name,factory", _zoo_cases(), ids=[n for n, _ in _zoo_cases()]
+# Default tier runs ONE zoo case (fm: the fused embedding+linear path);
+# DeepFM has its own dedicated mesh-parity test above. The remaining zoo
+# cases exercise the SAME exchange mechanism with different towers and cost
+# ~30s of XLA compile each — set DRT_FULL_SUITE=1 to run them all (CI /
+# pre-release tier; keeps the default one-command suite under ~5 min,
+# VERDICT r3 Next #2).
+_full_tier = pytest.mark.skipif(
+    not os.environ.get("DRT_FULL_SUITE"),
+    reason="heavy mesh-parity tier: set DRT_FULL_SUITE=1",
 )
+
+
+def _zoo_params():
+    return [
+        pytest.param(n, f, id=n,
+                     marks=() if n == "fm" else (_full_tier,))
+        for n, f in _zoo_cases()
+    ]
+
+
+@pytest.mark.parametrize("name,factory", _zoo_params())
 def test_ranking_zoo_mesh_step_matches_dense(mesh, rng, name, factory):
     """Loss + full gradient parity, meshed vs dense, across the zoo."""
     b = 16

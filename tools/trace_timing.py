@@ -26,14 +26,22 @@ def device_us_per_step(step_fn, n_steps=64, carry0=None, top=0, cost=False):
     jax.block_until_ready(out)
     flops = bytes_ = 0.0
     if cost:
+        # XLA's cost_analysis() of a compiled lax.scan reports flops/bytes
+        # for ONE while-loop body iteration, NOT n_steps of them (verified
+        # empirically: a 64-step scan of a 128x128 matmul reports ~one
+        # matmul's flops). So the numbers below are already per-step — do
+        # not divide by n_steps (ADVICE r3: dividing made MFU ~64x too low).
         try:
             ca = f.lower(carry0).compile().cost_analysis()
             if isinstance(ca, (list, tuple)):
                 ca = ca[0]
-            flops = float(ca.get("flops", 0.0)) / n_steps
-            bytes_ = float(ca.get("bytes accessed", 0.0)) / n_steps
-        except Exception:
-            pass
+            flops = float(ca.get("flops", 0.0))
+            bytes_ = float(ca.get("bytes accessed", 0.0))
+        except Exception as e:  # noqa: BLE001 — visible, not silent
+            import sys
+
+            print(f"WARNING: cost_analysis failed ({e!r}); "
+                  "flops/bytes reported as 0", file=sys.stderr)
     shutil.rmtree(_DIR, ignore_errors=True)
     with jax.profiler.trace(_DIR):
         out = f(carry0)
