@@ -57,6 +57,11 @@ def main():
     ap.add_argument("--epochs", type=int, default=5)
     ap.add_argument("--batch-size", type=int, default=1024)
     ap.add_argument("--num-ratings", type=int, default=1_000_209)
+    ap.add_argument(
+        "--movie-popularity", default="rank-power",
+        help="synthetic movie marginal; rank-power (finite skew, full "
+        "movie coverage) is the retrieval-parity protocol on BOTH sides",
+    )
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -82,7 +87,10 @@ def main():
         synthesize_ml1m,
     )
 
-    corpus = synthesize_ml1m(num_ratings=args.num_ratings, seed=42)
+    corpus = synthesize_ml1m(
+        num_ratings=args.num_ratings, seed=42,
+        movie_popularity=args.movie_popularity,
+    )
     n = len(corpus["Rating"])
     genres = np.full((n, MAX_GENRES), "", dtype=object)
     for i, g in enumerate(corpus["Genres"]):
@@ -98,9 +106,15 @@ def main():
     rng = np.random.default_rng(42)
     perm = rng.permutation(n)
     feats = {k: v[perm] for k, v in feats.items()}
+    ratings = np.asarray(corpus["Rating"])[perm]
     split = int(0.8 * n)
-    train = {k: v[:split] for k, v in feats.items()}
-    test = {k: v[split:] for k, v in feats.items()}
+    # Positives-only protocol (rating > 3), matching
+    # benchmarks/two_tower_quality.py's retrieval_arrays on the TPU side:
+    # the retrieval task trains and evaluates on liked pairs.
+    pos_train = ratings[:split] > 3
+    pos_test = ratings[split:] > 3
+    train = {k: v[:split][pos_train] for k, v in feats.items()}
+    test = {k: v[split:][pos_test] for k, v in feats.items()}
 
     fc = tf.feature_column
     dim = 32

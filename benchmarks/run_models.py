@@ -124,6 +124,12 @@ def main():
               batch, labels)
     bench_ctr("DeepFM", DeepFM(specs, embedding_dim=16, hidden=(256, 32)),
               batch, labels)
+    bench_ctr(
+        "DeepFM-bf16",
+        DeepFM(specs, embedding_dim=16, hidden=(256, 32),
+               compute_dtype=jnp.bfloat16),
+        batch, labels,
+    )
     bench_ctr("FNN", FNN(specs, embedding_dim=16, hidden=(256, 32)),
               batch, labels)
     bench_ctr(
@@ -231,30 +237,37 @@ def main():
     inp = jnp.asarray(rng.integers(1, vocab, (bt, s)))
     tgt_in = jnp.asarray(rng.integers(1, vocab, (bt, s)))
     tgt_out = jnp.asarray(rng.integers(1, vocab, (bt, s)))
-    tx = Transformer(
-        vocab_size=vocab, model_dim=128, num_heads=8,
-        num_encoder_layers=2, num_decoder_layers=2, ffn_dim=512,
-        dropout=0.0,
-    )
-    txp = tx.init(jax.random.PRNGKey(0), inp, tgt_in)
     tx_opt = optax.adam(noam_schedule(128, warmup_steps=4000))
 
-    def tx_step(carry, _):
-        params, opt_state = carry
+    def bench_transformer(label, dtype):
+        tx = Transformer(
+            vocab_size=vocab, model_dim=128, num_heads=8,
+            num_encoder_layers=2, num_decoder_layers=2, ffn_dim=512,
+            dropout=0.0, compute_dtype=dtype,
+        )
+        txp = tx.init(jax.random.PRNGKey(0), inp, tgt_in)
 
-        def loss_fn(p):
-            logits = tx.apply(p, inp, tgt_in)
-            onehot = jax.nn.one_hot(tgt_out, vocab)
-            return softmax_cross_entropy(
-                logits, label_smoothing(onehot, 0.1)
-            )
+        def tx_step(carry, _):
+            params, opt_state = carry
 
-        g = jax.grad(loss_fn)(params)
-        up, opt_state = tx_opt.update(g, opt_state, params)
-        return (optax.apply_updates(params, up), opt_state), None
+            def loss_fn(p):
+                logits = tx.apply(p, inp, tgt_in)
+                onehot = jax.nn.one_hot(tgt_out, vocab)
+                return softmax_cross_entropy(
+                    logits, label_smoothing(onehot, 0.1)
+                )
 
-    us, flops, bytes_ = device_us_per_step(tx_step, cost=True, carry0=(txp, tx_opt.init(txp)))
-    report(f"Transformer(S={s},d=128,2+2)", us, bt, flops, bytes_)
+            g = jax.grad(loss_fn)(params)
+            up, opt_state = tx_opt.update(g, opt_state, params)
+            return (optax.apply_updates(params, up), opt_state), None
+
+        us, flops, bytes_ = device_us_per_step(
+            tx_step, cost=True, carry0=(txp, tx_opt.init(txp))
+        )
+        report(label, us, bt, flops, bytes_)
+
+    bench_transformer(f"Transformer(S={s},d=128,2+2)", None)
+    bench_transformer(f"Transformer-bf16(S={s},d=128,2+2)", jnp.bfloat16)
 
     if args.out:
         with open(args.out, "w") as f:

@@ -3,7 +3,13 @@
 Pins the retrieval north-star row of BASELINE.md (VERDICT round-2 #4): the
 FactorizedTopK accuracy bank (k in {1, 5, 10, 50, 100}, ref
 factorized_top_k.py:475-480 semantics) measured over the test positives with
-every unique movie in the corpus as a candidate, plus train examples/s/chip.
+every unique movie in the test split as a candidate, plus train
+examples/s/chip.
+
+Round 4 (VERDICT r3 Weak #7): training runs through the SAME device-resident
+Trainer.fit_device loop as examples/train_two_tower_on_movielens.py — the
+committed artifact's throughput is the real device-resident number, not a
+host-fed loop's — and the artifact records the full config.
 
 Usage: python benchmarks/two_tower_quality.py [--epochs 5] [--out path.json]
 """
@@ -14,11 +20,9 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import jax
 import numpy as np
 import optax
 
@@ -28,6 +32,12 @@ from deep_recommenders_tpu.models.retrieval import (
     Retrieval,
     TwoTower,
 )
+from deep_recommenders_tpu.training import (
+    DeviceData,
+    RetrievalEval,
+    Trainer,
+    retrieval_loss,
+)
 
 
 def main():
@@ -35,7 +45,14 @@ def main():
     p.add_argument("--epochs", type=int, default=5)
     p.add_argument("--batch-size", type=int, default=1024)
     p.add_argument("--num-ratings", type=int, default=1_000_209)
+    p.add_argument("--temperature", type=float, default=0.1)
+    p.add_argument("--learning-rate", type=float, default=0.05)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument(
+        "--movie-popularity", default="rank-power",
+        help="synthetic movie marginal; rank-power (finite skew, full "
+        "movie coverage) is the retrieval-parity protocol on BOTH sides",
+    )
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -43,46 +60,49 @@ def main():
         batch_size=args.batch_size,
         num_ratings=args.num_ratings,
         seed=args.seed,
+        movie_popularity=args.movie_popularity,
     )
+    user, item, ids = ds.retrieval_arrays("train")
+    # Empirical per-positive sampling probability (logQ correction) — on a
+    # popularity-skewed corpus the uncorrected in-batch softmax learns
+    # popularity-cancelled scores that rank the full corpus near-randomly,
+    # and a 2-3%-popular movie appears dozens of times per batch as a false
+    # negative of itself (accidental negatives). Ref semantics:
+    # sbcnm.py:52-86, both options implemented as intended.
+    uniq, inv, counts = np.unique(
+        ids, return_inverse=True, return_counts=True
+    )
+    sampling_prob = (counts[inv] / len(ids)).astype(np.float32)
+    labels = {"candidate_ids": ids, "sampling_prob": sampling_prob}
+    train = DeviceData.from_numpy((user, item), labels, args.batch_size)
+    euser, eitem, eids = ds.retrieval_arrays("test")
+
     model = TwoTower(
         ds.user_specs(), ds.item_specs(),
         embedding_dim=32, hidden=(64,), output_dim=32,
     )
-    task = Retrieval(temperature=0.1)
-    opt = optax.adagrad(0.05)
-    qb, cb = next(iter(ds.retrieval_batches()))
-    params = model.init(jax.random.PRNGKey(args.seed), qb, cb)
-    opt_state = opt.init(params)
+    task = Retrieval(
+        temperature=args.temperature, remove_accidental_negatives=True
+    )
+    trainer = Trainer(
+        model,
+        optax.adagrad(args.learning_rate),
+        loss_fn=retrieval_loss(model, task),
+        eval_spec=RetrievalEval(model, task),
+        seed=args.seed,
+    )
+    result = trainer.fit_device(
+        train, epochs=args.epochs, shuffle_seed=args.seed, verbose=True
+    )
+    params = result["state"].params
+    train_ex_per_s = result["examples_per_sec"]
+    steady = result.get("examples_per_sec_steady")
 
-    @jax.jit
-    def train_step(params, opt_state, qb, cb):
-        def loss_fn(p):
-            qe, ce = model.apply(p, qb, cb, training=True)
-            return task(qe, ce)
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
-
-    # Warmup/compile outside the timed window.
-    params, opt_state, loss = train_step(params, opt_state, qb, cb)
-    jax.block_until_ready(loss)
-    t0 = time.perf_counter()
-    examples = 0
-    for epoch in range(args.epochs):
-        for qb, cb in ds.retrieval_batches(shuffle_seed=args.seed + epoch):
-            params, opt_state, loss = train_step(params, opt_state, qb, cb)
-            examples += args.batch_size
-    jax.block_until_ready(loss)
-    train_ex_per_s = examples / (time.perf_counter() - t0)
-
-    # Full-corpus candidate set: every unique movie seen in the test split.
-    item_cols = [c for _, c in ds.retrieval_batches(split="test")]
-    stacked = {
-        k: np.concatenate([c[k] for c in item_cols]) for k in item_cols[0]
-    }
-    _, first_rows = np.unique(stacked["movie_id"], return_index=True)
-    corpus_batch = {k: v[first_rows] for k, v in stacked.items()}
+    # Full-corpus candidate set: every unique movie seen in the test split
+    # (the reference protocol: positives scored against the whole candidate
+    # corpus, ref factorized_top_k.py:475-480 + sbcnm.py:156-163).
+    _, first_rows = np.unique(eitem["movie_id"], return_index=True)
+    corpus_batch = {k: v[first_rows] for k, v in eitem.items()}
     corpus_emb = model.apply(
         params, corpus_batch, method=lambda m, b: m.candidate_tower(b)
     )
@@ -93,17 +113,36 @@ def main():
         state = metric.update(state, qe, ce, candidates=corpus_emb)
     metrics = {k: round(float(v), 4) for k, v in metric.compute(state).items()}
 
-    result = {
+    result_row = {
         "model": "TwoTower",
         "corpus_movies": int(corpus_emb.shape[0]),
-        "epochs": args.epochs,
+        "config": {
+            "num_ratings": args.num_ratings,
+            "batch_size": args.batch_size,
+            "epochs": args.epochs,
+            "embedding_dim": 32,
+            "hidden": [64],
+            "output_dim": 32,
+            "temperature": args.temperature,
+            "optimizer": f"adagrad({args.learning_rate})",
+            "movie_popularity": args.movie_popularity,
+            "loss": "in-batch softmax CE (SUM) + logQ correction + "
+                    "accidental-negative removal",
+            "seed": args.seed,
+            "train_loop": "fit_device (device-resident epoch scans)",
+        },
         "train_examples_per_sec_per_chip": round(train_ex_per_s, 0),
+        # Wall includes the one-time remote XLA compile; steady is the
+        # device-resident rate of epochs 2..N.
+        "train_examples_per_sec_per_chip_steady": (
+            round(steady, 0) if steady else None
+        ),
         **metrics,
     }
-    print(json.dumps(result))
+    print(json.dumps(result_row))
     if args.out:
         with open(args.out, "w") as f:
-            json.dump(result, f, indent=1)
+            json.dump(result_row, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -161,6 +161,7 @@ def synthesize_ml1m(
     num_movies: int = NUM_MOVIES,
     latent_dim: int = 8,
     seed: int = 42,
+    movie_popularity: str = "zipf-draw",
 ) -> Dict[str, np.ndarray]:
     """Deterministic MovieLens-like corpus with learnable structure.
 
@@ -168,6 +169,18 @@ def synthesize_ml1m(
     (user_factor . movie_factor + user_bias + movie_bias), quantile-mapped to
     the 1..5 scale so ``rating > 3`` is predictable from IDs (and weakly from
     demographics, which bias the user factors). Same schema/vocabs as ml-1m.
+
+    ``movie_popularity``:
+    - "zipf-draw" (default): per-movie popularity drawn from np Zipf(1.4).
+      KEPT AS-IS for bit-identity with every CTR baseline measured since
+      round 1 — but note its unbounded tail concentrates ~50% of ratings on
+      a handful of movies (1M draws hit only ~445 distinct movies), which
+      makes it unusable as a RETRIEVAL corpus.
+    - "rank-power": popularity ∝ (rank+1)^-0.7 — finite skew matching real
+      ml-1m's shape (top movie ~0.3-2% of ratings; 1M draws cover ~all
+      3,952 movies, test split ~3.7k distinct). Used by the two-tower
+      quality harness and benchmarks/reference_two_tower.py, on BOTH sides
+      of the parity row.
     """
     rng = np.random.default_rng(seed)
     # Per-user attributes.
@@ -201,7 +214,18 @@ def synthesize_ml1m(
         dtype=object,
     )
     # Popularity-skewed sampling of (user, movie) pairs, like real ML-1M.
-    movie_pop = rng.zipf(1.4, num_movies).astype(np.float64)
+    if movie_popularity == "zipf-draw":
+        movie_pop = rng.zipf(1.4, num_movies).astype(np.float64)
+    elif movie_popularity == "rank-power":
+        # Finite-skew rank power law. Consume one rng draw of the same
+        # length so the DOWNSTREAM stream (uid/mid/noise) stays aligned
+        # with the default path's rng state per-branch determinism.
+        shuffle = rng.permutation(num_movies)
+        ranks = np.empty(num_movies, np.float64)
+        ranks[shuffle] = np.arange(1, num_movies + 1)
+        movie_pop = ranks**-0.7
+    else:
+        raise ValueError(f"unknown movie_popularity {movie_popularity!r}")
     movie_p = movie_pop / movie_pop.sum()
     uid = rng.integers(0, num_users, num_ratings)
     mid = rng.choice(num_movies, num_ratings, p=movie_p)
@@ -322,6 +346,10 @@ class MovielensRanking:
     corpus_path: Optional[str] = None  # serialize_corpus artifact
     num_ratings: int = NUM_RATINGS
     seed: int = 42
+    # Synthetic-corpus movie marginal (see synthesize_ml1m): "zipf-draw"
+    # keeps the round-1 CTR-baseline bit-stream; "rank-power" is the
+    # finite-skew marginal retrieval work needs (full movie coverage).
+    movie_popularity: str = "zipf-draw"
     features: Tuple[Feature, ...] = dataclasses.field(
         default_factory=default_movielens_features
     )
@@ -341,7 +369,8 @@ class MovielensRanking:
             spec_key = hashlib.md5(
                 repr(
                     (self.features, self.num_ratings, self.seed,
-                     self.datadir, self.corpus_path)
+                     self.datadir, self.corpus_path,
+                     self.movie_popularity)
                 ).encode()
             ).hexdigest()[:12]
             cache_path = os.path.join(
@@ -361,7 +390,10 @@ class MovielensRanking:
             ):
                 raw = load_ml1m(self.datadir, seed=self.seed)
             else:
-                raw = synthesize_ml1m(self.num_ratings, seed=self.seed)
+                raw = synthesize_ml1m(
+                    self.num_ratings, seed=self.seed,
+                    movie_popularity=self.movie_popularity,
+                )
             encoder = FeatureEncoder(self.features)
             self._data = encoder.encode(
                 {

@@ -5,10 +5,14 @@ is act(A @ X @ W) with optional bias and residual connection; spectral
 normalization of A lives in the dataset (datasets/cora.normalize_adjacency),
 not the layer.
 
-TPU-first: the adjacency is DENSE (Cora's 2708^2 fp32 = 28 MB fits HBM
-trivially) so both matmuls run on the MXU; scipy-sparse adjacencies are
-accepted by densifying. Contraction order (A @ X) @ W vs A @ (X @ W) is
-chosen by feature widths: compute X @ W first when it shrinks the columns.
+TPU-first: at Cora scale the adjacency is DENSE (2708^2 fp32 = 28 MB fits
+HBM trivially) so both matmuls run on the MXU. For graphs whose dense
+adjacency does not fit (O(N^2) HBM), pass an ``ops.sparse.SparseAdjacency``
+— the A @ X product then runs as a static-shape COO gather + segment-sum
+(the reference's tf.SparseTensor branch, ref gcn.py:43-50; crossover
+measurement in ops/sparse.py). Contraction order (A @ X) @ W vs
+A @ (X @ W) is chosen by feature widths: compute X @ W first when it
+shrinks the columns.
 """
 
 from __future__ import annotations

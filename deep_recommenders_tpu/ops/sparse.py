@@ -1,0 +1,79 @@
+"""Sparse adjacency: static-shape COO + segment-sum SpMM for graph ops.
+
+Parity: the reference GCN layer accepts a tf.SparseTensor adjacency
+(ref deep_recommenders/keras/models/retrieval/gcn.py:43-50, the
+`tf.sparse.sparse_dense_matmul` branch). TPU-first equivalent: a COO triple
+of dense, statically-shaped arrays (rows/cols/vals — XLA has no dynamic
+sparsity; nnz is fixed at construction) and A @ X as a gather +
+``jax.ops.segment_sum`` scatter-add over rows.
+
+When to use which (measured, TPU v5e, fp32, 2-layer GCN forward shapes):
+at Cora scale (N=2708, nnz~13k, F=1433) the DENSE matmul rides the MXU and
+is faster than the gather/scatter SpMM — keep dense adjacencies for small
+graphs. The sparse path wins on MEMORY, not time: dense A is O(N^2) HBM
+(28 MB at Cora, 400 GB at N=10^5•fp32), so beyond ~3*10^4 nodes the dense
+form stops fitting and segment-sum is the only option. ``GCNLayer`` accepts
+either form; pick by graph size.
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+
+@flax.struct.dataclass
+class SparseAdjacency:
+    """Static-shape COO sparse matrix (square, num_nodes x num_nodes).
+
+    ``rows`` must be sorted ascending (scipy .tocoo() of a CSR matrix is;
+    ``from_scipy`` guarantees it) — segment_sum then runs in its fast
+    sorted-indices mode.
+    """
+
+    rows: jax.Array  # (nnz,) int32
+    cols: jax.Array  # (nnz,) int32
+    vals: jax.Array  # (nnz,) float32
+    num_nodes: int = flax.struct.field(pytree_node=False)
+
+    @classmethod
+    def from_scipy(cls, sp) -> "SparseAdjacency":
+        coo = sp.tocsr().tocoo()  # CSR round-trip sorts + dedups
+        return cls(
+            rows=jnp.asarray(coo.row, jnp.int32),
+            cols=jnp.asarray(coo.col, jnp.int32),
+            vals=jnp.asarray(coo.data, jnp.float32),
+            num_nodes=int(sp.shape[0]),
+        )
+
+    @classmethod
+    def from_dense(cls, dense) -> "SparseAdjacency":
+        import numpy as np
+
+        d = np.asarray(dense)
+        rows, cols = np.nonzero(d)
+        return cls(
+            rows=jnp.asarray(rows, jnp.int32),
+            cols=jnp.asarray(cols, jnp.int32),
+            vals=jnp.asarray(d[rows, cols], jnp.float32),
+            num_nodes=int(d.shape[0]),
+        )
+
+    @property
+    def nnz(self) -> int:
+        return int(self.rows.shape[0])
+
+    def __matmul__(self, x: jax.Array) -> jax.Array:
+        """A @ x for x of shape (num_nodes, F) -> (num_nodes, F)."""
+        gathered = x[self.cols] * self.vals[:, None].astype(x.dtype)
+        return jax.ops.segment_sum(
+            gathered,
+            self.rows,
+            num_segments=self.num_nodes,
+            indices_are_sorted=True,
+        )
+
+    def todense(self) -> jax.Array:
+        out = jnp.zeros((self.num_nodes, self.num_nodes), self.vals.dtype)
+        return out.at[self.rows, self.cols].add(self.vals)

@@ -239,13 +239,30 @@ def multitask_mse_loss(model, num_tasks: int = 2):
 
 def retrieval_loss(model, task):
     """Two-tower train loss for Trainer(loss_fn=...): ``batch`` is the
-    (query_batch, candidate_batch) tuple (or one dict for both towers);
-    ``labels`` optionally carries candidate ids for accidental-negative
-    removal (pass None otherwise)."""
+    (query_batch, candidate_batch) tuple (or one dict for both towers).
+
+    ``labels`` may be:
+    - None — plain in-batch softmax;
+    - an id array — candidate ids (accidental-negative removal when the
+      task enables it);
+    - a dict with optional keys ``candidate_ids`` and ``sampling_prob`` —
+      the latter is each positive's corpus sampling probability for the
+      logQ correction (ref sbcnm.py:78-86). On popularity-skewed corpora
+      BOTH matter: a 2-3%-popular movie shows up dozens of times per 1024
+      batch as a false negative of itself, and uncorrected in-batch softmax
+      learns popularity-cancelled (PMI) scores that rank the full corpus
+      near-randomly.
+    """
 
     def loss_fn(params, batch, labels, rngs=None):
         qb, cb = batch if isinstance(batch, tuple) else (batch, batch)
         qe, ce = model.apply(params, qb, cb, training=True, rngs=rngs)
+        if isinstance(labels, dict):
+            return task(
+                qe, ce,
+                candidate_ids=labels.get("candidate_ids"),
+                candidate_sampling_probability=labels.get("sampling_prob"),
+            )
         return task(qe, ce, candidate_ids=labels)
 
     return loss_fn

@@ -443,10 +443,23 @@ class Trainer:
         best_metric, best_epoch = -float("inf"), -1
         t0 = time.perf_counter()
         examples = 0
+        # Steady-state window: from after the FIRST epoch fully completes
+        # (one-time trace + XLA compile — minutes through the remote-compile
+        # tunnel — plus its execution) to the end of the last epoch.
+        # examples_per_sec_steady is the device-resident training rate;
+        # examples_per_sec keeps full wall-clock semantics. Fencing note:
+        # jax.block_until_ready does NOT reliably wait on the remote-
+        # dispatch (axon) backend — a concrete VALUE fetch (float()) is the
+        # only trustworthy fence, and the per-epoch summary below performs
+        # one, so the timestamps are taken right after it.
+        t_steady = None
+        examples_steady = 0
         for epoch in range(start_epoch, epochs):
             perm = train_data.permutation(shuffle_seed, epoch)
             state, losses = run_epoch(state, perm, train_data.arrays())
             examples += int(perm.shape[0])
+            if t_steady is not None:
+                examples_steady += int(perm.shape[0])
             if (
                 checkpoint_dir is not None
                 and (epoch + 1) % checkpoint_every_epochs == 0
@@ -463,6 +476,9 @@ class Trainer:
                     old = saved_ckpts.pop(0)
                     shutil.rmtree(old, ignore_errors=True)
             summary = {"epoch": epoch, "loss": float(losses[-1])}
+            if t_steady is None:  # first epoch fully done (float() fenced)
+                t_steady = time.perf_counter()
+            t_last = time.perf_counter()
             if eval_data is not None:
                 eval_perm = eval_data.permutation(None, 0)
                 mstate = run_eval(
@@ -487,11 +503,19 @@ class Trainer:
                     f"[{examples / elapsed:.0f} ex/s]",
                 )
         elapsed = time.perf_counter() - t0
-        return {
+        result = {
             "state": state,
             "history": history,
             "examples_per_sec": examples / elapsed,
         }
+        if t_steady is not None and examples_steady > 0:
+            # Eval/checkpoint time between epochs is included — this is the
+            # steady-state rate of the whole epoch loop, minus compiles.
+            # t_last was fenced by the final epoch's float(loss) fetch.
+            result["examples_per_sec_steady"] = examples_steady / (
+                t_last - t_steady
+            )
+        return result
 
     def evaluate(self, params, eval_batches) -> Dict[str, float]:
         metric_state = self.eval_spec.init()

@@ -30,12 +30,24 @@ def main():
     p.add_argument("--hidden", type=int, default=16)
     p.add_argument("--learning-rate", type=float, default=0.01)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument(
+        "--sparse-adjacency",
+        action="store_true",
+        help="use the static-COO segment-sum SpMM path (ops/sparse.py) "
+        "instead of the dense MXU matmul — the form that scales past "
+        "graphs whose dense adjacency fits HBM",
+    )
     args = p.parse_args()
 
     cora = Cora(path=args.datadir, seed=args.seed)
     splits = cora.splits()
     x = jnp.asarray(cora.features)
-    adj = jnp.asarray(cora.spectral_adjacency)
+    if args.sparse_adjacency:
+        from deep_recommenders_tpu.ops.sparse import SparseAdjacency
+
+        adj = SparseAdjacency.from_dense(cora.spectral_adjacency)
+    else:
+        adj = jnp.asarray(cora.spectral_adjacency)
     train_labels, train_mask = splits["train"]
     valid_labels, valid_mask = splits["valid"]
     test_labels, test_mask = splits["test"]

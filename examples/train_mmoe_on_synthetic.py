@@ -43,6 +43,7 @@ def main():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--eval-fraction", type=float, default=0.1)
     p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--out", default=None, help="write a result-JSON artifact")
     args = p.parse_args()
 
     ds = SyntheticForMultiTask(
@@ -84,6 +85,32 @@ def main():
         f"final: task0 mse {last['mse_0']:.4f} task1 mse {last['mse_1']:.4f} "
         f"({result['examples_per_sec']:.0f} ex/s)"
     )
+    if args.out:
+        import json
+
+        with open(args.out, "w") as f:
+            json.dump(
+                {
+                    "model": "MMoE",
+                    "config": {
+                        "num_examples": args.num_examples,
+                        "example_dim": args.example_dim,
+                        "task_correlation": args.task_correlation,
+                        "epochs": args.epochs,
+                        "batch_size": args.batch_size,
+                        "num_experts": args.num_experts,
+                        "seed": args.seed,
+                        "optimizer": "adam(1e-3)",
+                    },
+                    "mse_task0": round(float(last["mse_0"]), 6),
+                    "mse_task1": round(float(last["mse_1"]), 6),
+                    "examples_per_sec_per_chip": round(
+                        result["examples_per_sec"], 0
+                    ),
+                },
+                f,
+                indent=1,
+            )
 
 
 if __name__ == "__main__":

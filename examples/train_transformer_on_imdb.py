@@ -36,6 +36,8 @@ class TransformerClassifier(nn.Module):
     num_heads: int = 4
     num_layers: int = 2
     num_classes: int = 2
+    # Mixed precision: bf16 matmuls, fp32 params/LN/logits (models/nlp).
+    compute_dtype: object = None
 
     def setup(self):
         self.transformer = Transformer(
@@ -46,6 +48,7 @@ class TransformerClassifier(nn.Module):
             num_decoder_layers=0,
             ffn_dim=self.model_dim * 4,
             dropout=0.0,
+            compute_dtype=self.compute_dtype,
         )
         self.head = nn.Dense(self.num_classes)
 
@@ -65,6 +68,10 @@ def main():
     p.add_argument("--max-len", type=int, default=128)
     p.add_argument("--model-dim", type=int, default=64)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument(
+        "--bf16", action="store_true",
+        help="bfloat16 compute (fp32 params/logits) for every matmul",
+    )
     args = p.parse_args()
 
     if args.imdb_npz:
@@ -89,7 +96,8 @@ def main():
             return ds.batches(split, args.batch_size, epochs, args.seed)
 
     model = TransformerClassifier(
-        vocab_size=args.num_words, model_dim=args.model_dim
+        vocab_size=args.num_words, model_dim=args.model_dim,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
     )
     x0, _ = next(iter(batches("train")))
     params = model.init(jax.random.PRNGKey(args.seed), jnp.asarray(x0))

@@ -49,6 +49,11 @@ def main():
     p.add_argument("--learning-rate", type=float, default=0.05)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument(
+        "--movie-popularity", default="rank-power",
+        help="synthetic-corpus movie marginal (retrieval needs the "
+        "finite-skew rank-power form; see datasets/movielens.py)",
+    )
     args = p.parse_args()
 
     print("Loading MovieLens ...")
@@ -57,6 +62,7 @@ def main():
         datadir=args.datadir,
         num_ratings=args.num_ratings,
         seed=args.seed,
+        movie_popularity=args.movie_popularity,
     )
     user, item, ids = ds.retrieval_arrays("train")
     train = DeviceData.from_numpy((user, item), ids, args.batch_size)
