@@ -59,7 +59,11 @@ def movielens_batch(rng, b):
 
 # Roofline peaks for the bench chip (TPU v5e): bf16 MXU and HBM bandwidth.
 # MFU/HBM% below are utilization against THESE peaks — chip-relative context
-# (VERDICT r2 #8), not a cross-generation constant.
+# (VERDICT r2 #8), not a cross-generation constant. Caveat on the bytes
+# column: XLA cost_analysis "bytes accessed" counts LOGICAL buffer accesses
+# (every operand/result of every op), not physical HBM traffic — VMEM-
+# resident reuse is double-counted, so hbm_bw_util_pct is an UPPER BOUND
+# and can exceed 100% for fusion-heavy models.
 PEAK_BF16_FLOPS = 197e12
 PEAK_HBM_BYTES = 819e9
 
@@ -229,8 +233,7 @@ def main():
     # what the IMDB example trains; here the full enc-dec seq2seq step).
     from deep_recommenders_tpu.models.nlp import Transformer, noam_schedule
     from deep_recommenders_tpu.training.losses import (
-        label_smoothing,
-        softmax_cross_entropy,
+        smoothed_sparse_softmax_cross_entropy,
     )
 
     bt, s, vocab = 256, 128, 8000
@@ -252,9 +255,11 @@ def main():
 
             def loss_fn(p):
                 logits = tx.apply(p, inp, tgt_in)
-                onehot = jax.nn.one_hot(tgt_out, vocab)
-                return softmax_cross_entropy(
-                    logits, label_smoothing(onehot, 0.1)
+                # Sparse smoothed CE: the dense one-hot form added a
+                # (B*S, vocab) tensor that cost ~90 ms/step in layout
+                # copies (profiled round 4) — 80% of the step.
+                return smoothed_sparse_softmax_cross_entropy(
+                    logits, tgt_out, epsilon=0.1
                 )
 
             g = jax.grad(loss_fn)(params)

@@ -92,12 +92,15 @@ def _flash_kernel(
 
     @pl.when(block_live)
     def _body():
-        q = q_ref[0].astype(jnp.float32)  # (bq, d)
-        k = k_ref[0].astype(jnp.float32)  # (bk, d)
+        # Dots run on NATIVE operand dtype (bf16 inputs -> bf16 MXU passes,
+        # 4x the fp32 rate) with fp32 accumulation via
+        # preferred_element_type; softmax statistics are always fp32.
+        q = q_ref[0]  # (bq, d)
+        k = k_ref[0]  # (bk, d)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale  # (bq, bk)
+        ) * scale  # (bq, bk) f32
 
         mask = mask_ref[0] > 0  # (1, bk) valid keys
         s = jnp.where(mask, s, NEG_INF)
@@ -121,9 +124,9 @@ def _flash_kernel(
         alpha = jnp.exp(m_prev - m_new)
         alpha = jnp.where(m_prev <= NEG_INF / 2, 0.0, alpha)
         l_new = alpha * l_scratch[:] + jnp.sum(p, axis=-1, keepdims=True)
-        v = v_ref[0].astype(jnp.float32)
+        v = v_ref[0]
         acc_scratch[:] = acc_scratch[:] * alpha + jnp.dot(
-            p, v, preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
         )
         m_scratch[:] = m_new
         l_scratch[:] = l_new
@@ -287,20 +290,20 @@ def _flash_bwd_dq_kernel(
 
     @pl.when(block_live)
     def _body():
-        q = q_ref[0].astype(jnp.float32)
-        k = k_ref[0].astype(jnp.float32)
-        v = v_ref[0].astype(jnp.float32)
-        do = do_ref[0].astype(jnp.float32)
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]
         p = _rebuild_p(
             q, k, mask_ref, lse_ref, i, j, scale, causal, block_q, block_k
         )
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (bq, bk)
+        )  # (bq, bk) f32
         ds = p * (dp - delta_ref[0, 0][:, None]) * scale
         acc_scratch[:] += jnp.dot(
-            ds, k, preferred_element_type=jnp.float32
+            ds.astype(k.dtype), k, preferred_element_type=jnp.float32
         )
 
     @pl.when(j == nk - 1)
@@ -329,15 +332,15 @@ def _flash_bwd_dkv_kernel(
 
     @pl.when(block_live)
     def _body():
-        q = q_ref[0].astype(jnp.float32)
-        k = k_ref[0].astype(jnp.float32)
-        v = v_ref[0].astype(jnp.float32)
-        do = do_ref[0].astype(jnp.float32)
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]
         p = _rebuild_p(
             q, k, mask_ref, lse_ref, i, j, scale, causal, block_q, block_k
         )
         dv_scratch[:] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())),
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # p^T @ do: (bk, d)
         dp = jax.lax.dot_general(
@@ -346,7 +349,7 @@ def _flash_bwd_dkv_kernel(
         )
         ds = p * (dp - delta_ref[0, 0][:, None]) * scale
         dk_scratch[:] += jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # ds^T @ q: (bk, d)
 
@@ -496,12 +499,21 @@ flash_attention_diff.defvjp(_flash_fwd, _flash_bwd)
 _flash_attention_diff = flash_attention_diff
 
 
-# Below this key length the fused dense SDPA (one XLA fusion, whole (S, S)
-# matrix in registers/VMEM) beats the flash kernel's block machinery — the
-# (S, S) intermediate is small enough that the O(S^2) memory argument doesn't
-# bite and the Pallas grid overhead dominates. Measured on TPU v5e at
-# d_model=128: dense wins at S<=256, flash wins from S~512 up.
-FLASH_MIN_SEQ = 512
+# Dispatch criterion, measured on TPU v5e (fp32 AND bf16, causal fwd+bwd,
+# constant total work BH*S = 256k, D = 64):
+#
+#   S      128   256   512   1024  2048  4096    (us/step, bf16)
+#   dense  ~1.1k ~2.4k ~5.0k 8.1k  15.7k 30.8k
+#   flash  ~3.9k ~6.1k ~9.4k 13.3k 24.9k 48.4k
+#
+# XLA's fused dense SDPA wins on TIME at every HBM-feasible size — the
+# Pallas kernel's per-block grid overhead never amortizes. What the flash
+# kernel buys is MEMORY: O(S*D) residency instead of the dense path's
+# (BH, Sq, Sk) fp32 score/softmax tensors, which at e.g. BH=128, S=8192
+# would need 34 GB and cannot exist on a 16 GB chip. So the dispatch is on
+# the SCORE-TENSOR FOOTPRINT, not sequence length: dense below the budget,
+# flash above it (where dense would OOM or thrash HBM).
+FLASH_SCORE_BYTES = 2_000_000_000
 
 
 def attention(
@@ -512,12 +524,15 @@ def attention(
     causal: bool = False,
     use_flash: Optional[bool] = None,
 ) -> jax.Array:
-    """Dispatch: flash kernel on TPU for long sequences, fused dense SDPA
-    for short ones and off-TPU. Batched heads layout (BH, S, D)."""
+    """Dispatch: fused dense SDPA wherever its (BH, Sq, Sk) score tensor
+    fits the memory budget (it wins on time at every feasible size —
+    measured table above), the O(S)-memory flash kernel beyond. Batched
+    heads layout (BH, S, D)."""
     if use_flash is None:
+        score_bytes = q.shape[0] * q.shape[1] * k.shape[1] * 4
         use_flash = (
             jax.default_backend() == "tpu"
-            and k.shape[1] >= FLASH_MIN_SEQ
+            and score_bytes > FLASH_SCORE_BYTES
         )
     if use_flash:
         if key_mask is None:

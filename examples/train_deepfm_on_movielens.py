@@ -34,6 +34,11 @@ def main():
     p.add_argument("--learning-rate", type=float, default=1e-3)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument(
+        "--bf16", action="store_true",
+        help="bfloat16 compute (fp32 params/logits/optimizer state); AUC "
+        "must land within run-to-run variance of the fp32 number",
+    )
+    p.add_argument(
         "--host-streaming",
         action="store_true",
         help="feed batches from host per step instead of the "
@@ -61,8 +66,11 @@ def main():
         f"train steps/epoch: {ds.train_steps_per_epoch}, "
         f"test steps: {ds.test_steps}"
     )
+    import jax.numpy as jnp
+
     model = DeepFM(
-        ds.feature_specs, embedding_dim=args.embedding_dim, hidden=(256, 32)
+        ds.feature_specs, embedding_dim=args.embedding_dim, hidden=(256, 32),
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
     )
     trainer = Trainer(
         model, optax.adam(args.learning_rate), seed=args.seed

@@ -144,3 +144,29 @@ def test_warm_start_shape_mismatch_raises(small_ds):
     fnn_params = fnn.init(jax.random.PRNGKey(1), batch)
     with pytest.raises(ValueError):
         warm_start_from(fnn_params, fm_params)
+
+
+def test_smoothed_sparse_ce_matches_dense_form(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from deep_recommenders_tpu.training.losses import (
+        label_smoothing,
+        smoothed_sparse_softmax_cross_entropy,
+        softmax_cross_entropy,
+    )
+
+    logits = jnp.asarray(rng.normal(0, 2, (6, 9, 31)).astype(np.float32))
+    targets = jnp.asarray(rng.integers(0, 31, (6, 9)))
+    mask = jnp.asarray((rng.random((6, 9)) < 0.8).astype(np.float32))
+    for eps in (0.0, 0.1):
+        dense = softmax_cross_entropy(
+            logits, label_smoothing(jax.nn.one_hot(targets, 31), eps),
+            mask=mask,
+        )
+        sparse = smoothed_sparse_softmax_cross_entropy(
+            logits, targets, epsilon=eps, mask=mask
+        )
+        np.testing.assert_allclose(
+            float(sparse), float(dense), rtol=1e-5, atol=1e-6
+        )
