@@ -40,8 +40,15 @@ ORACLE_BUDGET_S = float(os.environ.get("BENCH_ORACLE_BUDGET_S", "150"))
 BATCH = 8192
 EMBED_DIM = 16
 HIDDEN = (256, 32)
-SCAN_STEPS = 64   # steps fused into one device-resident lax.scan
-SCAN_REPEATS = 8  # timed scan invocations (total steps = 64 * 8)
+# Steps fused into one device-resident lax.scan. At ~176us device time per
+# step the measurement overheads through the remote-dispatch tunnel are
+# large relative to short windows: a value fetch costs ~28ms and the
+# original 512-step total left it (plus dispatch sends) as ~25-45% of the
+# "measured" time. 4096 total steps (~0.7s of device compute) amortize the
+# single end-of-run fetch below 4%; compile time stays flat (scan traces
+# the body once regardless of length).
+SCAN_STEPS = 512
+SCAN_REPEATS = 8
 
 
 def verify_kernels():
@@ -233,14 +240,17 @@ def main():
         )
 
     state, losses = run_scan(state)  # compile + warmup
-    jax.block_until_ready(losses)
+    float(jax.numpy.sum(losses))  # value fetch: the only reliable fence
+    # through the remote-dispatch tunnel (block_until_ready may not wait)
 
+    # One timed region: the SCAN_REPEATS dispatches queue asynchronously on
+    # the device, ONE value fetch at the end fences the region. The fetch's
+    # ~28ms tunnel latency is <4% of the ~0.7s of device compute.
     t0 = time.perf_counter()
     for _ in range(SCAN_REPEATS):
         state, losses = run_scan(state)
-    jax.block_until_ready(losses)
+    float(jax.numpy.sum(losses))
     elapsed = time.perf_counter() - t0
-
     n_chips = max(1, jax.device_count())
     total_steps = SCAN_STEPS * SCAN_REPEATS
     examples_per_sec_chip = total_steps * BATCH / elapsed / n_chips
