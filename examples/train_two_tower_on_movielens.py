@@ -65,9 +65,23 @@ def main():
         movie_popularity=args.movie_popularity,
     )
     user, item, ids = ds.retrieval_arrays("train")
-    train = DeviceData.from_numpy((user, item), ids, args.batch_size)
+    # logQ correction + accidental-negative removal (the reference's
+    # documented-but-broken Retrieval options, implemented as intended):
+    # on a popularity-skewed corpus, plain in-batch softmax learns
+    # popularity-cancelled scores that rank the full corpus near-randomly
+    # (see BASELINE.md round-4 retrieval section).
+    uniq, inv, counts = np.unique(ids, return_inverse=True,
+                                  return_counts=True)
+    sampling_prob = (counts[inv] / len(ids)).astype(np.float32)
+    train = DeviceData.from_numpy(
+        (user, item),
+        {"candidate_ids": ids, "sampling_prob": sampling_prob},
+        args.batch_size,
+    )
     euser, eitem, eids = ds.retrieval_arrays("test")
-    evald = DeviceData.from_numpy((euser, eitem), eids, args.batch_size)
+    evald = DeviceData.from_numpy(
+        (euser, eitem), {"candidate_ids": eids}, args.batch_size
+    )
 
     model = TwoTower(
         ds.user_specs(),
@@ -76,7 +90,9 @@ def main():
         hidden=(64,),
         output_dim=args.output_dim,
     )
-    task = Retrieval(temperature=args.temperature)
+    task = Retrieval(
+        temperature=args.temperature, remove_accidental_negatives=True
+    )
     trainer = Trainer(
         model,
         optax.adagrad(args.learning_rate),
