@@ -1,8 +1,9 @@
-from deep_recommenders_tpu.datasets.cora import Cora
+from deep_recommenders_tpu.datasets.cora import Cora, download_cora
 from deep_recommenders_tpu.datasets.movielens import (
     CORPUS_COLUMNS,
     MovielensRanking,
     default_movielens_features,
+    download_ml1m,
     load_ml1m,
     read_corpus,
     serialize_corpus,

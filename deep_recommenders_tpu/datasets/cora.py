@@ -33,6 +33,42 @@ CORA_CLASSES = (
 )
 NUM_CLASSES = len(CORA_CLASSES)
 
+CORA_URL = "https://linqs-data.soe.ucsc.edu/public/lbc/cora.tgz"
+
+
+def download_cora(
+    dest_dir: str, url: str = CORA_URL, timeout: float = 60.0
+) -> str:
+    """Download + extract the real Cora corpus (ref cora.py:10-36).
+
+    Returns ``dest_dir`` (which then contains ``cora/cora.content`` and
+    ``cora/cora.cites`` — pass it as ``Cora(path=...)``). Skips work already
+    done. Raises ``OSError`` offline; callers fall back to the synthetic
+    graph, as ``Cora`` does by default.
+    """
+    import tarfile
+    import urllib.request
+
+    content = os.path.join(dest_dir, "cora", "cora.content")
+    if os.path.exists(content):
+        return dest_dir
+    os.makedirs(dest_dir, exist_ok=True)
+    tgz_path = os.path.join(dest_dir, "cora.tgz")
+    if not os.path.exists(tgz_path):
+        tmp = tgz_path + ".part"
+        with urllib.request.urlopen(url, timeout=timeout) as r, open(
+            tmp, "wb"
+        ) as f:
+            while True:
+                chunk = r.read(1 << 20)
+                if not chunk:
+                    break
+                f.write(chunk)
+        os.replace(tmp, tgz_path)
+    with tarfile.open(tgz_path, "r:gz") as tf:
+        tf.extractall(dest_dir)
+    return dest_dir
+
 
 def normalize_adjacency(adj: np.ndarray) -> np.ndarray:
     """Renormalization trick: D^-1/2 (A + I) D^-1/2 (ref cora.py:64-70)."""

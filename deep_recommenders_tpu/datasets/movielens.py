@@ -52,6 +52,43 @@ GENRES_VOCAB = (
 )
 MAX_GENRES = 6  # ml-1m movies carry at most 6 genres
 
+ML1M_URL = "https://files.grouplens.org/datasets/movielens/ml-1m.zip"
+
+
+def download_ml1m(
+    dest_dir: str, url: str = ML1M_URL, timeout: float = 60.0
+) -> str:
+    """Download + unzip the real ml-1m corpus (ref movielens.py:8-16).
+
+    Returns the directory containing the extracted ``.dat`` files
+    (``<dest_dir>/ml-1m``), skipping both download and extraction when they
+    are already present. Raises ``OSError`` when the network is
+    unreachable — callers in offline environments should fall back to
+    ``synthesize_ml1m`` (as every example in this repo does).
+    """
+    import urllib.request
+    import zipfile
+
+    out = os.path.join(dest_dir, "ml-1m")
+    if os.path.exists(os.path.join(out, "ratings.dat")):
+        return out
+    os.makedirs(dest_dir, exist_ok=True)
+    zip_path = os.path.join(dest_dir, "ml-1m.zip")
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".part"
+        with urllib.request.urlopen(url, timeout=timeout) as r, open(
+            tmp, "wb"
+        ) as f:
+            while True:
+                chunk = r.read(1 << 20)
+                if not chunk:
+                    break
+                f.write(chunk)
+        os.replace(tmp, zip_path)
+    with zipfile.ZipFile(zip_path) as zf:
+        zf.extractall(dest_dir)
+    return out
+
 
 def _load_dat(path: str, columns) -> Dict[str, Dict[str, str]]:
     """Parse an ml-1m ``::``-separated .dat file into {key: row_dict}."""
@@ -217,9 +254,11 @@ def synthesize_ml1m(
     if movie_popularity == "zipf-draw":
         movie_pop = rng.zipf(1.4, num_movies).astype(np.float64)
     elif movie_popularity == "rank-power":
-        # Finite-skew rank power law. Consume one rng draw of the same
-        # length so the DOWNSTREAM stream (uid/mid/noise) stays aligned
-        # with the default path's rng state per-branch determinism.
+        # Finite-skew rank power law. Deterministic for a fixed seed
+        # WITHIN this branch; it does NOT reproduce the zipf branch's
+        # downstream uid/mid/noise draws (permutation and zipf rejection
+        # sampling consume different amounts of the bit stream), so the
+        # two popularity modes define two distinct corpora (ADVICE r4).
         shuffle = rng.permutation(num_movies)
         ranks = np.empty(num_movies, np.float64)
         ranks[shuffle] = np.arange(1, num_movies + 1)

@@ -10,9 +10,11 @@ Parity: ref deep_recommenders/keras/models/nlp/multi_head_attention.py —
   layout. The score path goes through ops/attention.attention (Pallas flash
   kernel on TPU, jnp SDPA elsewhere).
 
-Dropout on attention WEIGHTS (ref :83) does not exist in the flash path (the
-weight matrix is never materialized); dropout is applied to the attention
-output instead — a standard, documented divergence.
+Dropout follows the reference exactly: applied to the softmax WEIGHTS
+(ref :83) inside the dense SDPA path. The flash kernel never materializes
+the weight matrix, so ops/attention.attention routes dropout-active steps
+to the dense path (and raises if flash is forced with dropout on) — the
+kernel choice can change performance, never semantics.
 """
 
 from __future__ import annotations
@@ -114,16 +116,19 @@ class MultiHeadAttention(nn.Module):
         if key_mask is not None:
             mask_bh = jnp.repeat(key_mask, h, axis=0)  # (B*H, Sk)
 
+        # Reference semantics: dropout on the softmax WEIGHTS (ref :83).
+        # The dispatch in ops/attention routes dropout-active steps to the
+        # dense SDPA path (flash never materializes the weight matrix).
+        drop_active = bool(self.dropout) and training
         out = attention(
             q, k, v, key_mask=mask_bh, causal=self.causal,
             use_flash=self.use_flash,
+            dropout_rate=self.dropout if drop_active else 0.0,
+            dropout_rng=self.make_rng("dropout") if drop_active else None,
         )
         out = (
             out.reshape(b, h, sq, dh)
             .transpose(0, 2, 1, 3)
             .reshape(b, sq, self.model_dim)
         )
-        out = nn.Dense(self.model_dim, dtype=self.dtype, name="out_proj")(out)
-        if self.dropout:
-            out = nn.Dropout(self.dropout, deterministic=not training)(out)
-        return out
+        return nn.Dense(self.model_dim, dtype=self.dtype, name="out_proj")(out)

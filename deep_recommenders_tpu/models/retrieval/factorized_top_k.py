@@ -358,11 +358,17 @@ class Streaming(TopK):
 
     ``candidates``: callable returning an iterable of (identifiers, batch)
     or plain batch arrays; row ids are assigned by a running counter when no
-    identifiers are given (ref :160, :244-249).
+    identifiers are given (ref :160, :244-249). ``query_model`` (optional)
+    maps raw queries to embeddings before scoring (ref :144).
     """
 
-    def __init__(self, candidates: Callable[[], Iterable]):
+    def __init__(
+        self,
+        candidates: Callable[[], Iterable],
+        query_model: Optional[Callable] = None,
+    ):
         self._candidates = candidates
+        self._query_model = query_model
 
     def index(self, candidates, identifiers=None) -> "Streaming":
         del identifiers
@@ -371,6 +377,8 @@ class Streaming(TopK):
 
     def __call__(self, queries, k: int = 10):
         queries = jnp.asarray(queries)
+        if self._query_model is not None:
+            queries = self._query_model(queries)
         b = queries.shape[0]
         best_s = jnp.full((b, k), -jnp.inf, jnp.float32)
         best_i = jnp.full((b, k), -1, jnp.int32)
@@ -401,10 +409,18 @@ class Streaming(TopK):
 class InMemoryStreaming(TopK):
     """Device-resident exact search for corpora that fit HBM but exceed a
     single comfortable matmul: lax.scan over chunks (ops/topk.chunked_top_k).
+
+    ``query_model`` (optional) maps raw queries to embeddings before
+    scoring (ref :144).
     """
 
-    def __init__(self, chunk_size: int = 4096):
+    def __init__(
+        self,
+        chunk_size: int = 4096,
+        query_model: Optional[Callable] = None,
+    ):
         self._chunk_size = chunk_size
+        self._query_model = query_model
         self._candidates = None
 
     def index(self, candidates, identifiers=None) -> "InMemoryStreaming":
@@ -415,8 +431,11 @@ class InMemoryStreaming(TopK):
     def __call__(self, queries, k: int = 10):
         if self._candidates is None:
             raise ValueError("index() must be called before querying")
+        queries = jnp.asarray(queries)
+        if self._query_model is not None:
+            queries = self._query_model(queries)
         return chunked_top_k(
-            jnp.asarray(queries), self._candidates, k, self._chunk_size
+            queries, self._candidates, k, self._chunk_size
         )
 
     def config(self) -> dict:

@@ -34,6 +34,8 @@ def scaled_dot_product_attention(
     v: jax.Array,
     key_mask: Optional[jax.Array] = None,
     causal: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Reference SDPA. q/k/v: (..., S, D); key_mask: (..., S_k) with 1=valid.
 
@@ -41,6 +43,11 @@ def scaled_dot_product_attention(
     input dtype (bf16 mixed precision feeds bf16 q/k/v); the @V contraction
     runs in the input dtype with fp32 accumulation and the output is cast
     back to the input dtype.
+
+    ``dropout_rate``/``dropout_rng``: inverted dropout applied to the
+    softmax WEIGHTS before the @V contraction — exactly the reference's
+    ``K.dropout(softmax_out, rate)``
+    (ref multi_head_attention.py:83). Inactive when either is unset.
     """
     d = q.shape[-1]
     scores = jnp.einsum(
@@ -60,6 +67,11 @@ def scaled_dot_product_attention(
     # over masked keys — matches the flash kernel's semantics.
     any_valid = jnp.max(scores, axis=-1, keepdims=True) > NEG_INF / 2
     weights = jnp.where(any_valid, weights, 0.0)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(
+            dropout_rng, 1.0 - dropout_rate, weights.shape
+        )
+        weights = jnp.where(keep, weights / (1.0 - dropout_rate), 0.0)
     out = jnp.einsum(
         "...qk,...kd->...qd", weights.astype(v.dtype), v,
         preferred_element_type=jnp.float32,
@@ -514,6 +526,13 @@ _flash_attention_diff = flash_attention_diff
 # the SCORE-TENSOR FOOTPRINT, not sequence length: dense below the budget,
 # flash above it (where dense would OOM or thrash HBM).
 FLASH_SCORE_BYTES = 2_000_000_000
+# In training the dense path does not keep just ONE score-sized tensor:
+# the softmax weights are saved for backward, and the backward materializes
+# a score-sized gradient — peak residency is a small multiple of
+# score_bytes (ADVICE r4: a shape just under a single-tensor threshold
+# could still thrash or OOM a 16 GB chip fwd+bwd). 3x is the conservative
+# count (weights residual + dweights + one live scores buffer).
+DENSE_RESIDENT_SCORE_TENSORS = 3
 
 
 def attention(
@@ -523,21 +542,39 @@ def attention(
     key_mask: Optional[jax.Array] = None,
     causal: bool = False,
     use_flash: Optional[bool] = None,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Dispatch: fused dense SDPA wherever its (BH, Sq, Sk) score tensor
-    fits the memory budget (it wins on time at every feasible size —
-    measured table above), the O(S)-memory flash kernel beyond. Batched
-    heads layout (BH, S, D)."""
+    """Dispatch: fused dense SDPA wherever its fwd+bwd score-tensor
+    residency fits the memory budget (it wins on time at every feasible
+    size — measured table above), the O(S)-memory flash kernel beyond.
+    Batched heads layout (BH, S, D).
+
+    Attention-weight dropout (ref multi_head_attention.py:83) exists only
+    in the dense path — the flash kernel never materializes the weight
+    matrix. Auto-dispatch therefore always routes dropout-active calls
+    dense; requesting ``use_flash=True`` with active dropout is an error,
+    never a silent semantics change."""
+    dropout_active = dropout_rate > 0.0 and dropout_rng is not None
     if use_flash is None:
         score_bytes = q.shape[0] * q.shape[1] * k.shape[1] * 4
         use_flash = (
             jax.default_backend() == "tpu"
-            and score_bytes > FLASH_SCORE_BYTES
+            and score_bytes * DENSE_RESIDENT_SCORE_TENSORS
+            > FLASH_SCORE_BYTES
+            and not dropout_active
         )
     if use_flash:
+        if dropout_active:
+            raise ValueError(
+                "attention-weight dropout is not implemented in the flash "
+                "kernel (the weight matrix is never materialized); call "
+                "with use_flash=False/None for dropout-active steps"
+            )
         if key_mask is None:
             key_mask = jnp.ones(k.shape[:2], jnp.float32)
         return _flash_attention_diff(q, k, v, key_mask, causal)
     return scaled_dot_product_attention(
-        q, k, v, key_mask=key_mask, causal=causal
+        q, k, v, key_mask=key_mask, causal=causal,
+        dropout_rate=dropout_rate, dropout_rng=dropout_rng,
     )

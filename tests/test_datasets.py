@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from deep_recommenders_tpu.datasets import (
     Cora,
@@ -149,3 +150,41 @@ def test_ranking_from_corpus_artifact(tmp_path):
     np.testing.assert_array_equal(ld, lc)
     for k in fd:
         np.testing.assert_array_equal(fd[k], fc[k])
+
+
+def _network_available(host="files.grouplens.org", port=443, timeout=2.0):
+    import socket
+
+    try:
+        socket.create_connection((host, port), timeout=timeout).close()
+        return True
+    except OSError:
+        return False
+
+
+def test_download_ml1m_real_corpus(tmp_path):
+    """Real-network ETL entry point (ref movielens.py:8-16). Offline (this
+    sandbox) the download must raise OSError — the documented signal for
+    callers to fall back to synthesize_ml1m — so both sides of the contract
+    are exercised wherever the test runs."""
+    from deep_recommenders_tpu.datasets import download_ml1m, load_ml1m
+
+    if not _network_available():
+        with pytest.raises(OSError):
+            download_ml1m(str(tmp_path), timeout=2.0)
+        pytest.skip("network unreachable: exercised the offline contract")
+    out = download_ml1m(str(tmp_path))
+    data = load_ml1m(out)
+    assert len(data["rating"]) == 1_000_209
+
+
+def test_download_cora_real_corpus(tmp_path):
+    from deep_recommenders_tpu.datasets import Cora, download_cora
+
+    if not _network_available("linqs-data.soe.ucsc.edu"):
+        with pytest.raises(OSError):
+            download_cora(str(tmp_path), timeout=2.0)
+        pytest.skip("network unreachable: exercised the offline contract")
+    root = download_cora(str(tmp_path))
+    cora = Cora(path=root)
+    assert cora.features.shape[0] == 2708

@@ -237,3 +237,71 @@ def test_transformer_train_smoke_copy_task(rng):
         params, opt_state, loss = step(params, opt_state, inp, tgt_in, tgt_out)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.8, (losses[0], losses[-1])
+
+
+def test_sdpa_weight_dropout_matches_reference_semantics(rng):
+    """Dropout hits the softmax WEIGHTS, not the output (ref
+    multi_head_attention.py:83 ``K.dropout(softmax_out, rate)``).
+
+    Replays the op's own bernoulli draw on the manually-computed weight
+    matrix: the dropped output must equal (masked weights / keep) @ V.
+    """
+    bh, s, d, rate = 2, 8, 4, 0.4
+    q = jnp.asarray(rng.normal(size=(bh, s, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(bh, s, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(bh, s, d)).astype(np.float32))
+    key = jax.random.PRNGKey(7)
+
+    got = scaled_dot_product_attention(
+        q, k, v, dropout_rate=rate, dropout_rng=key
+    )
+
+    scores = np.einsum("bqd,bkd->bqk", q, k) / np.sqrt(d)
+    w = jax.nn.softmax(jnp.asarray(scores), axis=-1)
+    keep = jax.random.bernoulli(key, 1.0 - rate, w.shape)
+    w_dropped = jnp.where(keep, w / (1.0 - rate), 0.0)
+    want = jnp.einsum("bqk,bkd->bqd", w_dropped, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    # Structural check that distinguishes weight- from output-dropout:
+    # with constant values v=1, every output feature column is the same
+    # (sum of kept weights / keep-prob) — output-dropout would zero
+    # individual (q, d) elements independently and break column equality.
+    ones_v = jnp.ones_like(v)
+    out_c = np.asarray(
+        scaled_dot_product_attention(
+            q, k, ones_v, dropout_rate=rate, dropout_rng=key
+        )
+    )
+    np.testing.assert_allclose(out_c, out_c[..., :1] * np.ones(d), atol=1e-6)
+    assert not np.allclose(out_c, 1.0)  # dropout actually did something
+
+
+def test_mha_weight_dropout_training_only_and_flash_guard(rng):
+    from deep_recommenders_tpu.ops.attention import attention
+
+    b, s, d = 2, 10, 16
+    x = jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32))
+    mha = MultiHeadAttention(num_heads=2, model_dim=d, dropout=0.5)
+    params = mha.init(jax.random.PRNGKey(0), x, x, x)
+
+    # Eval path: deterministic, no rng needed.
+    out_eval = mha.apply(params, x, x, x)
+    np.testing.assert_allclose(
+        np.asarray(out_eval), np.asarray(mha.apply(params, x, x, x))
+    )
+
+    # Training path: needs the 'dropout' rng stream; two keys -> two outputs.
+    o1 = mha.apply(params, x, x, x, training=True,
+                   rngs={"dropout": jax.random.PRNGKey(1)})
+    o2 = mha.apply(params, x, x, x, training=True,
+                   rngs={"dropout": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+    # Forcing flash with active dropout is an error, never a silent
+    # semantics change (the kernel has no weight matrix to drop).
+    with pytest.raises(ValueError, match="flash"):
+        attention(
+            x, x, x, use_flash=True,
+            dropout_rate=0.5, dropout_rng=jax.random.PRNGKey(0),
+        )

@@ -351,3 +351,31 @@ def test_index_save_load_with_query_model(tmp_path, rng):
     s1, i1 = restored(q, k=3)
     np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-6)
     assert np.array_equal(np.asarray(i0), np.asarray(i1))
+
+
+def test_streaming_query_model_matches_brute_force(rng):
+    """All index families accept a query transform (ref :144, :268, :342):
+    Streaming/InMemoryStreaming with query_model == BruteForce with it."""
+    n, d, b, k = 53, 6, 4, 5
+    w = rng.normal(size=(d, d)).astype(np.float32)
+    qm = lambda q: q @ jnp.asarray(w)  # noqa: E731
+    cands = rng.normal(size=(n, d)).astype(np.float32)
+    queries = rng.normal(size=(b, d)).astype(np.float32)
+    bf_scores, bf_ids = BruteForce(query_model=qm).index(cands)(queries, k=k)
+
+    def batches():
+        for lo in range(0, n, 17):
+            yield cands[lo : lo + 17]
+
+    st_scores, st_ids = Streaming(batches, query_model=qm)(queries, k=k)
+    np.testing.assert_allclose(
+        np.asarray(st_scores), np.asarray(bf_scores), rtol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(st_ids), np.asarray(bf_ids))
+
+    im = InMemoryStreaming(chunk_size=16, query_model=qm).index(cands)
+    im_scores, im_ids = im(queries, k=k)
+    np.testing.assert_allclose(
+        np.asarray(im_scores), np.asarray(bf_scores), rtol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(im_ids), np.asarray(bf_ids))

@@ -95,11 +95,9 @@ def test_sharded_brute_force_model8(mesh_model8, rng):
     np.testing.assert_array_equal(np.asarray(si), np.asarray(di))
 
 
-_full_tier = pytest.mark.skipif(
-    not os.environ.get("DRT_FULL_SUITE"),
-    reason="heavy mesh tier: set DRT_FULL_SUITE=1",
-)
-@_full_tier
+# Default tier on purpose (ADVICE r4): these two are the ONLY coverage of
+# the sharded index's identifier mapping and checkpoint paths; they are
+# small-n and cheap relative to the mesh-parity compiles.
 def test_sharded_brute_force_identifiers(mesh, rng):
     q, cand = _corpus(rng, n=60)
     int_ids = rng.permutation(60).astype(np.int64) + 1000
@@ -172,7 +170,6 @@ def test_factorized_top_k_metric_sharded_equals_dense(mesh, rng):
     assert accs == sorted(accs)
 
 
-@_full_tier
 def test_sharded_brute_force_save_load_round_trip(mesh, rng, tmp_path):
     q, cand = _corpus(rng, n=60)
     ids = np.arange(60, dtype=np.int64) * 3

@@ -1,15 +1,31 @@
 """Device-time measurement via jax.profiler traces (wall time lies through
 the remote-dispatch tunnel: ~5ms fixed per dispatch)."""
 import glob
-import os
 import shutil
+import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
 _DIR = "/tmp/jax_trace_util"
+
+# Fixed tunnel latency allowance for the wall-clock self-check below: one
+# dispatch + one value fetch through the remote-dispatch backend (measured
+# ~28 ms in bench.py; 100 ms is a safe ceiling that still catches a trace
+# that truncated a multi-hundred-ms region).
+_TUNNEL_ALLOWANCE_S = 0.100
+
+
+def _fence(out):
+    """Fetch one element derived from ``out`` — the only reliable fence
+    through the remote-dispatch tunnel. ``jax.block_until_ready`` can
+    return before the device finishes (bench.py commit 207f7a5,
+    trainer.py); a value fetch cannot, because the bytes must exist."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.ravel()[0:1])
 
 
 def device_us_per_step(step_fn, n_steps=64, carry0=None, top=0, cost=False):
@@ -23,7 +39,7 @@ def device_us_per_step(step_fn, n_steps=64, carry0=None, top=0, cost=False):
         carry0 = jnp.zeros((), jnp.int32)
     f = jax.jit(lambda c: jax.lax.scan(step_fn, c, None, length=n_steps))
     out = f(carry0)
-    jax.block_until_ready(out)
+    _fence(out)
     flops = bytes_ = 0.0
     if cost:
         # XLA's cost_analysis() of a compiled lax.scan reports flops/bytes
@@ -44,8 +60,10 @@ def device_us_per_step(step_fn, n_steps=64, carry0=None, top=0, cost=False):
                   "flops/bytes reported as 0", file=sys.stderr)
     shutil.rmtree(_DIR, ignore_errors=True)
     with jax.profiler.trace(_DIR):
+        t0 = time.perf_counter()  # after session start: exclude its cost
         out = f(carry0)
-        jax.block_until_ready(out)
+        _fence(out)  # inside the trace: region must not close early
+        wall_s = time.perf_counter() - t0
     files = glob.glob(f"{_DIR}/**/*.xplane.pb", recursive=True)
     total = 0.0
     rows = {}
@@ -64,6 +82,17 @@ def device_us_per_step(step_fn, n_steps=64, carry0=None, top=0, cost=False):
                     name = ev_meta.get(ev.metadata_id, "?")
                     rows[name] = rows.get(name, 0) + ev.duration_ps / 1e6
     total = sum(rows.values())
+    # Self-check (VERDICT r4 #2): the fenced wall time minus the tunnel
+    # allowance is a LOWER bound on device busy time. If the trace captured
+    # less than that, it truncated (events lost / region closed early) and
+    # device_us_per_step would silently under-report.
+    wall_floor_us = (wall_s - _TUNNEL_ALLOWANCE_S) * 1e6
+    if total < wall_floor_us:
+        raise RuntimeError(
+            f"trace captured {total:.0f} us but the value-fenced wall time "
+            f"implies >= {wall_floor_us:.0f} us of device work — the trace "
+            "truncated; rerun (do not trust this number)"
+        )
     if top:
         for k, v in sorted(rows.items(), key=lambda kv: -kv[1])[:top]:
             print(f"    {v/n_steps:9.2f} us/step  {k[:100]}")
@@ -79,11 +108,11 @@ def device_op_breakdown(step_fn, n_steps=64, carry0=None, top=20):
         carry0 = jnp.zeros((), jnp.int32)
     f = jax.jit(lambda c: jax.lax.scan(step_fn, c, None, length=n_steps))
     out = f(carry0)
-    jax.block_until_ready(out)
+    _fence(out)
     shutil.rmtree(_DIR, ignore_errors=True)
     with jax.profiler.trace(_DIR):
         out = f(carry0)
-        jax.block_until_ready(out)
+        _fence(out)  # inside the trace: region must not close early
     files = glob.glob(f"{_DIR}/**/*.xplane.pb", recursive=True)
     rows = {}
     for fp in files:
