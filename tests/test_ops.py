@@ -120,3 +120,93 @@ def test_lookup_forward_and_grad(rng):
     np.testing.assert_allclose(
         np.asarray(g), np.asarray(g_ref), rtol=2e-2, atol=1e-2
     )
+
+
+def test_cin_stack_pooled_reference_matches_layered_math(rng):
+    """_stack_reference == two cin_interaction layers + relu + d-sum."""
+    from deep_recommenders_tpu.ops.cin_kernels import _stack_reference
+
+    b, f0, d, m1, m2 = 16, 6, 8, 12, 20
+    x0 = jnp.asarray(rng.normal(size=(b, f0, d)).astype(np.float32))
+    w1 = jnp.asarray(rng.normal(0, 0.2, (f0, f0, m1)).astype(np.float32))
+    w2 = jnp.asarray(rng.normal(0, 0.2, (f0, m1, m2)).astype(np.float32))
+    z1 = jax.nn.relu(cin_interaction(x0, x0, w1))  # (B, M1, D)
+    z2 = jax.nn.relu(cin_interaction(x0, z1, w2))
+    x0v = x0.transpose(0, 2, 1).reshape(b * d, f0)
+    p1, p2 = _stack_reference(x0v, w1, w2, d)
+    np.testing.assert_allclose(
+        np.asarray(p1), np.asarray(z1.sum(axis=2)), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(p2), np.asarray(z2.sum(axis=2)), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_cin_stack_kernel_grad_is_exact_in_interpret_mode(rng):
+    """The Pallas backward IS the gradient of the Pallas forward.
+
+    Comparing against an fp32 reference mixes in relu-mask flips at bf16
+    zero crossings; the decisive check is against autodiff of a jnp clone
+    with the kernel's exact cast structure — run in interpret mode so the
+    kernel bodies execute off-TPU (the chip oracle lives in tests/tpu).
+    """
+    import deep_recommenders_tpu.ops.cin_kernels as ck
+
+    bf = jnp.bfloat16
+    b, f0, d, m1, m2 = 32, 6, 16, 128, 128
+
+    def clone(x0v, w1, w2):
+        w1v = w1.reshape(f0 * f0, m1)
+        xb = x0v.astype(bf)
+        y = jnp.concatenate(
+            [xb[:, f : f + 1] * xb for f in range(f0)], axis=1
+        )
+        z1pre = jax.lax.dot_general(
+            y, w1v.astype(bf), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        z1 = jnp.maximum(z1pre, 0.0)
+        p1 = z1.reshape(-1, d, m1).sum(axis=1)
+        z1b = z1.astype(bf)
+        acc = jnp.zeros((x0v.shape[0], m2), jnp.float32)
+        for f in range(f0):
+            acc += jax.lax.dot_general(
+                xb[:, f : f + 1] * z1b, w2[f].astype(bf),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        z2 = jnp.maximum(acc, 0.0)
+        return p1, z2.reshape(-1, d, m2).sum(axis=1)
+
+    x0v = jnp.asarray(
+        rng.normal(size=(b * d, f0)).astype(np.float32)
+    ).astype(bf)
+    w1 = jnp.asarray(rng.normal(0, 0.2, (f0, f0, m1)).astype(np.float32))
+    w2 = jnp.asarray(rng.normal(0, 0.2, (f0, m1, m2)).astype(np.float32))
+    gp1 = jnp.asarray(rng.normal(size=(b, m1)).astype(np.float32))
+    gp2 = jnp.asarray(rng.normal(size=(b, m2)).astype(np.float32))
+
+    def loss(fn):
+        def inner(a, bb, cc):
+            p1, p2 = fn(a, bb, cc)
+            return jnp.sum(p1 * gp1) + jnp.sum(p2 * gp2)
+        return inner
+
+    old = ck.STACK_INTERPRET
+    ck.STACK_INTERPRET = True
+    try:
+        gk = jax.grad(
+            loss(lambda a, bb, cc: ck.cin_stack_pooled(a, bb, cc, d)),
+            argnums=(0, 1, 2),
+        )(x0v, w1, w2)
+    finally:
+        ck.STACK_INTERPRET = old
+    gc = jax.grad(loss(clone), argnums=(0, 1, 2))(x0v, w1, w2)
+    for name, a, r in zip(
+        ("dx0", "dw1", "dw2"),
+        (gk[0].astype(jnp.float32), gk[1], gk[2]),
+        (gc[0].astype(jnp.float32), gc[1], gc[2]),
+    ):
+        a, r = np.asarray(a), np.asarray(r)
+        err = np.abs(a - r).max() / (np.abs(r).max() + 1e-6)
+        assert err < 2e-2, (name, err)

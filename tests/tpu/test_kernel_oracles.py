@@ -171,3 +171,65 @@ def test_fm_interaction_pallas_matches_jnp():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-4
     )
+
+
+def test_cin_stack_pooled_fwd_bwd_on_chip():
+    """Fused 2-layer CIN stack vs the fp32 einsum reference (round 5).
+
+    Forward is tight. Gradients: the backward recomputes nothing but its
+    relu masks come from bf16 activations, so isolated near-zero
+    crossings flip vs an fp32 reference — any bf16 scheme has them and
+    they are self-consistent with the kernel's own forward (the exact
+    gradient OF the kernel is separately pinned by the interpret-mode
+    test in tests/test_ops.py). Here: 99th-percentile error + global
+    correlation against the fp32 autodiff.
+    """
+    from deep_recommenders_tpu.ops.cin_kernels import (
+        _stack_reference,
+        cin_stack_pooled,
+    )
+
+    rng = np.random.default_rng(0)
+    for (b, f0, d, m1, m2) in [(512, 6, 16, 128, 128), (64, 5, 8, 64, 96)]:
+        x0v = jnp.asarray(
+            rng.normal(size=(b * d, f0)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        w1 = jnp.asarray(rng.normal(0, 0.2, (f0, f0, m1)).astype(np.float32))
+        w2 = jnp.asarray(rng.normal(0, 0.2, (f0, m1, m2)).astype(np.float32))
+        gp1 = jnp.asarray(rng.normal(size=(b, m1)).astype(np.float32))
+        gp2 = jnp.asarray(rng.normal(size=(b, m2)).astype(np.float32))
+
+        @jax.jit
+        def both(x0v, w1, w2):
+            def lk(a, bb, cc):
+                p1, p2 = cin_stack_pooled(a, bb, cc, d)
+                return jnp.sum(p1 * gp1) + jnp.sum(p2 * gp2)
+
+            def lr(a, bb, cc):
+                p1, p2 = _stack_reference(a, bb, cc, d)
+                return jnp.sum(p1 * gp1) + jnp.sum(p2 * gp2)
+
+            return (
+                cin_stack_pooled(x0v, w1, w2, d),
+                _stack_reference(x0v, w1, w2, d),
+                jax.grad(lk, argnums=(0, 1, 2))(x0v, w1, w2),
+                jax.grad(lr, argnums=(0, 1, 2))(x0v, w1, w2),
+            )
+
+        pk, pr, gk, gr = both(x0v, w1, w2)
+        for name, a, r in [("p1", pk[0], pr[0]), ("p2", pk[1], pr[1])]:
+            s = float(np.abs(np.asarray(r)).max())
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(r), atol=1e-2 * s, rtol=1e-2,
+                err_msg=f"{name} (b={b})",
+            )
+        for name, a, r in [
+            ("dx0", gk[0].astype(jnp.float32), gr[0].astype(jnp.float32)),
+            ("dw1", gk[1], gr[1]),
+            ("dw2", gk[2], gr[2]),
+        ]:
+            a, r = np.asarray(a), np.asarray(r)
+            errs = np.abs(a - r) / (np.abs(r).max() + 1e-6)
+            p99 = np.percentile(errs, 99)
+            corr = np.corrcoef(a.ravel(), r.ravel())[0, 1]
+            assert p99 < 2e-2 and corr > 0.995, (name, b, p99, corr)
