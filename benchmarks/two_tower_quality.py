@@ -101,7 +101,14 @@ def main():
     # Full-corpus candidate set: every unique movie seen in the test split
     # (the reference protocol: positives scored against the whole candidate
     # corpus, ref factorized_top_k.py:475-480 + sbcnm.py:156-163).
-    _, first_rows = np.unique(eitem["movie_id"], return_index=True)
+    # Dedup by RAW movie id — the same corpus definition as the reference
+    # harness (VERDICT r4 #6 / ADVICE r4: deduping by encoded CRC32 bucket
+    # gave our side a ~1.6x smaller candidate set). Bucket collisions stay
+    # inside the model: colliding raw ids contribute identical embeddings
+    # and tie-resolution favors the positive, exactly as a shared bucket
+    # behaves at serving time.
+    raw_ids = ds.raw_movie_ids("test")
+    _, first_rows = np.unique(raw_ids, return_index=True)
     corpus_batch = {k: v[first_rows] for k, v in eitem.items()}
     corpus_emb = model.apply(
         params, corpus_batch, method=lambda m, b: m.candidate_tower(b)

@@ -413,14 +413,18 @@ class MovielensRanking:
                 ).encode()
             ).hexdigest()[:12]
             cache_path = os.path.join(
-                self.cache_dir, f"movielens_{spec_key}.npz"
+                # v2: adds the raw (pre-hash) MovieID column to the cache
+                self.cache_dir, f"movielens_v2_{spec_key}.npz"
             )
         if cache_path and os.path.exists(cache_path):
-            with np.load(cache_path) as f:
+            with np.load(cache_path, allow_pickle=True) as f:
                 self._data = {
-                    k: f[k] for k in f.files if k != "__label__"
+                    k: f[k]
+                    for k in f.files
+                    if k not in ("__label__", "__raw_movie_id__")
                 }
                 self._label = f["__label__"]
+                self._raw_movie_id = f["__raw_movie_id__"]
         else:
             if self.corpus_path and os.path.exists(self.corpus_path):
                 raw = read_corpus(self.corpus_path)
@@ -445,10 +449,12 @@ class MovielensRanking:
                 }
             )
             self._label = (raw["Rating"] > 3).astype(np.float32)[:, None]
+            self._raw_movie_id = np.asarray(raw["MovieID"])
             if cache_path:
                 os.makedirs(self.cache_dir, exist_ok=True)
                 np.savez(
-                    cache_path, __label__=self._label, **self._data
+                    cache_path, __label__=self._label,
+                    __raw_movie_id__=self._raw_movie_id, **self._data
                 )
         n = len(self._label)
         self._n_train = int(n * self.train_size)
@@ -574,6 +580,21 @@ class MovielensRanking:
             )
         user, item = self._pair_view(pos)
         return user, item, self._data["movie_id"][pos]
+
+    def raw_movie_ids(self, split: str = "train") -> np.ndarray:
+        """Raw (pre-hash) MovieID per positive pair row of the split — the
+        corpus identity for full-corpus retrieval evaluation. The encoded
+        ids from :meth:`retrieval_arrays` are CRC32 buckets and LOSSY
+        (3,952 raw ids -> ~2,468 buckets at the default spec); deduping an
+        eval corpus by bucket shrinks it ~1.6x vs the reference protocol
+        (VERDICT r4 #6)."""
+        if split == "train":
+            pos = np.flatnonzero(self._label[: self._n_train, 0] > 0.5)
+        else:
+            pos = self._n_train + np.flatnonzero(
+                self._label[self._n_train :, 0] > 0.5
+            )
+        return self._raw_movie_id[pos]
 
     def user_specs(self) -> Tuple[Feature, ...]:
         return tuple(f for f in self.features if f.name in self.USER_KEYS)

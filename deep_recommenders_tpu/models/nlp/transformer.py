@@ -167,6 +167,38 @@ class Transformer(nn.Module):
         out = self.decode(targets, memory, memory_mask, training=training)
         return self.embedding.attend(out)  # (B, St, vocab) logits
 
+    def loss(
+        self,
+        inputs,
+        targets_in,
+        targets_out,
+        epsilon: float = 0.0,
+        training: bool = True,
+        mask=None,
+    ):
+        """Fused training loss: tied vocab projection + smoothed sparse CE
+        without ever keeping the (B, S, V) logits as residuals.
+
+        ``__call__`` + a loss on its logits saves the fp32 (B, S, V)
+        tensor for backward — measured round 5 at ~5.3 ms/step of HBM
+        traffic at the zoo config, dwarfing the attention stack. Use this
+        method for training (``model.apply(p, ..., method=Transformer.loss)``)
+        and ``__call__`` for eval/serving logits.
+        """
+        from deep_recommenders_tpu.training.losses import (
+            tied_smoothed_sparse_softmax_cross_entropy,
+        )
+
+        memory, memory_mask = self.encode(inputs, training=training)
+        out = self.decode(targets_in, memory, memory_mask, training=training)
+        table = self.embedding.get_variable("params", "table")
+        if self.compute_dtype is not None:
+            table = table.astype(self.compute_dtype)
+            out = out.astype(self.compute_dtype)
+        return tied_smoothed_sparse_softmax_cross_entropy(
+            out, table, targets_out, epsilon=epsilon, mask=mask
+        )
+
 
 def noam_schedule(model_dim: int, warmup_steps: int = 4000):
     """Noam LR (ref transformer.py:299-308) as an optax schedule."""

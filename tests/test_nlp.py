@@ -305,3 +305,45 @@ def test_mha_weight_dropout_training_only_and_flash_guard(rng):
             x, x, x, use_flash=True,
             dropout_rate=0.5, dropout_rng=jax.random.PRNGKey(0),
         )
+
+
+def test_transformer_fused_loss_matches_logits_loss(rng):
+    """Transformer.loss (tied projection inside jax.checkpoint, no
+    (B,S,V) residual) == CE computed on __call__ logits, values + grads."""
+    from deep_recommenders_tpu.models.nlp import Transformer
+    from deep_recommenders_tpu.training.losses import (
+        smoothed_sparse_softmax_cross_entropy,
+    )
+
+    tx = Transformer(
+        vocab_size=40, model_dim=16, num_heads=2,
+        num_encoder_layers=1, num_decoder_layers=1, ffn_dim=32, dropout=0.0,
+    )
+    inp = jnp.asarray(rng.integers(1, 40, (2, 7)))
+    tgt_in = jnp.asarray(rng.integers(1, 40, (2, 5)))
+    tgt_out = jnp.asarray(rng.integers(1, 40, (2, 5)))
+    params = tx.init(jax.random.PRNGKey(0), inp, tgt_in)
+
+    def fused(p):
+        return tx.apply(p, inp, tgt_in, tgt_out, epsilon=0.1,
+                        training=False, method=Transformer.loss)
+
+    def unfused(p):
+        logits = tx.apply(p, inp, tgt_in)
+        return smoothed_sparse_softmax_cross_entropy(
+            logits, tgt_out, epsilon=0.1
+        )
+
+    lf, gf = jax.value_and_grad(fused)(params)
+    lu, gu = jax.value_and_grad(unfused)(params)
+    np.testing.assert_allclose(float(lf), float(lu), rtol=1e-5)
+    flat_f = {str(k): v for k, v in
+              jax.tree_util.tree_leaves_with_path(gf)}
+    flat_u = {str(k): v for k, v in
+              jax.tree_util.tree_leaves_with_path(gu)}
+    assert flat_f.keys() == flat_u.keys()
+    for k in flat_f:
+        np.testing.assert_allclose(
+            np.asarray(flat_f[k]), np.asarray(flat_u[k]),
+            rtol=1e-4, atol=1e-6, err_msg=k,
+        )

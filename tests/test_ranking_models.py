@@ -140,10 +140,11 @@ def test_activation_unit_matches_hand_built(rng):
     out = au.apply(params, x, y)
     # Hand-build: same params applied to the explicit concat.
     concat = jnp.concatenate([x, y, x - y], axis=-1)
-    k = params["params"]["dense_kernel"]
-    o = params["params"]["dense_output"]
-    hidden = jax.nn.relu(concat @ k["kernel"] + k["bias"])
-    expected = hidden @ o["kernel"] + o["bias"]
+    p = params["params"]
+    hidden = jax.nn.relu(
+        concat @ p["dense_kernel"] + p["dense_kernel_bias"]
+    )
+    expected = hidden @ p["dense_output"] + p["dense_output_bias"]
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=1e-5)
 
 
@@ -165,3 +166,26 @@ def test_dice_layer(rng):
     params = layer.init(jax.random.PRNGKey(0), x)
     out = layer.apply(params, x)
     assert out.shape == x.shape
+
+
+def test_activation_unit_fused_sequence_path_matches_concat(rng):
+    """(B,T,D)x(B,D) fused scoring == the reference concat formulation
+    applied pairwise (same params): concat([x,y,x-y]) @ W identity."""
+    from deep_recommenders_tpu.models.ranking import (
+        ActivationUnit,
+        subtract_interacter,
+    )
+
+    b, t, d = 4, 5, 8
+    unit = ActivationUnit(units=6, interacter=subtract_interacter)
+    xs = jnp.asarray(rng.normal(size=(b, t, d)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+    params = unit.init(jax.random.PRNGKey(0), xs, y)
+    fused = unit.apply(params, xs, y)  # (B, T, 1)
+    tiled = jnp.broadcast_to(y[:, None, :], (b, t, d))
+    pairwise = unit.apply(
+        params, xs.reshape(b * t, d), tiled.reshape(b * t, d)
+    ).reshape(b, t, 1)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(pairwise), rtol=1e-5, atol=1e-6
+    )

@@ -28,13 +28,62 @@ def _fence(out):
     np.asarray(leaf.ravel()[0:1])
 
 
-def device_us_per_step(step_fn, n_steps=64, carry0=None, top=0, cost=False):
+def _parse_memory_breakdown(raw):
+    """Hand-parse the profiler's ``memory_access_breakdown`` stat (the
+    op_metrics proto is not shipped in this wheel): repeated messages of
+    {1: operation_type, 2: memory_space, 3: bytes_accessed} varints."""
+    out = []
+    i = 0
+
+    def varint(i):
+        v, s = 0, 0
+        while True:
+            b = raw[i]
+            i += 1
+            v |= (b & 0x7F) << s
+            if not b & 0x80:
+                return v, i
+            s += 7
+
+    while i < len(raw):
+        tag, i = varint(i)
+        if tag != 0x0A:  # unexpected layout: bail rather than mis-sum
+            return out
+        ln, i = varint(i)
+        end = i + ln
+        entry = {}
+        while i < end:
+            t, i = varint(i)
+            v, i = varint(i)
+            entry[t >> 3] = v
+        out.append(entry)
+    return out
+
+
+# Memory-space id in the breakdown entries that denotes HBM on this
+# backend. Calibrated empirically (round 5): a 16x(64 MB read + 64 MB
+# write) streaming loop reports 2.35 GB in space 3 (theoretical 2.05 GB,
+# +15% scheduler extras) and ~0.3 GB in space 1 (the S(1)/VMEM alternate
+# space used for prefetched operands).
+HBM_SPACE = 3
+
+
+def device_us_per_step(
+    step_fn, n_steps=64, carry0=None, top=0, cost=False, hbm=False
+):
     """Scan step_fn (carry, None) -> (carry, None|aux) n_steps times on
     device, trace it, return total device-plane µs / n_steps.
 
     With ``cost=True`` returns (us, flops_per_step, bytes_per_step) from
     XLA's cost analysis of the compiled scan — the roofline numerator/
-    denominator for MFU and HBM-utilization context."""
+    denominator for MFU and HBM-utilization context. NOTE that cost
+    analysis counts LOGICAL buffer accesses (fusion-internal reuse double
+    counts), so that bytes column is an upper bound that can exceed the
+    physical HBM peak. ``hbm=True`` appends a fourth element:
+    HBM-attributed bytes/step summed from the profiler's per-op
+    memory_access_breakdown (space filter calibrated above) — compiler-
+    attributed PHYSICAL traffic, the number to compare against peak
+    bandwidth."""
     if carry0 is None:
         carry0 = jnp.zeros((), jnp.int32)
     f = jax.jit(lambda c: jax.lax.scan(step_fn, c, None, length=n_steps))
@@ -67,6 +116,7 @@ def device_us_per_step(step_fn, n_steps=64, carry0=None, top=0, cost=False):
     files = glob.glob(f"{_DIR}/**/*.xplane.pb", recursive=True)
     total = 0.0
     rows = {}
+    hbm_bytes = 0
     for fp in files:
         xs = xplane_pb2.XSpace()
         xs.ParseFromString(open(fp, "rb").read())
@@ -74,7 +124,33 @@ def device_us_per_step(step_fn, n_steps=64, carry0=None, top=0, cost=False):
             if "TPU" not in plane.name:
                 continue
             ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
+            md_hbm = {}
+            if hbm:
+                smeta = {
+                    m.id: m.name for m in plane.stat_metadata.values()
+                }
+                for m in plane.event_metadata.values():
+                    for st in m.stats:
+                        if smeta.get(st.metadata_id) == (
+                            "memory_access_breakdown"
+                        ):
+                            md_hbm[m.id] = sum(
+                                e.get(3, 0)
+                                for e in _parse_memory_breakdown(
+                                    st.bytes_value
+                                )
+                                if e.get(2) == HBM_SPACE
+                            )
             for line in plane.lines:
+                if hbm and line.name == "XLA Ops":
+                    for ev in line.events:
+                        # Async pairs (copy-start/copy-done etc.) carry
+                        # the SAME bytes on both halves — count starts
+                        # only, or every prefetch doubles.
+                        name = ev_meta.get(ev.metadata_id, "")
+                        if "-done" in name.split(" = ")[0]:
+                            continue
+                        hbm_bytes += md_hbm.get(ev.metadata_id, 0)
                 if line.name != "XLA Modules":
                     # avoid double counting: module-level line only
                     continue
@@ -97,8 +173,12 @@ def device_us_per_step(step_fn, n_steps=64, carry0=None, top=0, cost=False):
         for k, v in sorted(rows.items(), key=lambda kv: -kv[1])[:top]:
             print(f"    {v/n_steps:9.2f} us/step  {k[:100]}")
     us = total / n_steps
+    if cost and hbm:
+        return us, flops, bytes_, hbm_bytes / n_steps
     if cost:
         return us, flops, bytes_
+    if hbm:
+        return us, hbm_bytes / n_steps
     return us
 
 
