@@ -22,6 +22,8 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from tools.trace_timing import fence  # noqa: E402
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -34,11 +36,11 @@ from deep_recommenders_tpu.ops.attention import (
 
 def bench(fn, args, iters=50):
     out = fn(*args)
-    jax.block_until_ready(out)
+    fence(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    fence(out)
     return (time.perf_counter() - t0) / iters * 1e3
 
 

@@ -23,6 +23,7 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+from tools.trace_timing import fence
 import numpy as np
 import optax
 
@@ -51,14 +52,14 @@ def train_rate(trainer, batches, steps, batch_size):
     state, loss = trainer.train_step(
         state, trainer._put(feats), trainer._put(labels)
     )
-    jax.block_until_ready(loss)
+    fence(loss)
     t0 = time.perf_counter()
     for _ in range(steps):
         feats, labels = next(it)
         state, loss = trainer.train_step(
             state, trainer._put(feats), trainer._put(labels)
         )
-    jax.block_until_ready(loss)
+    fence(loss)
     return steps * batch_size / (time.perf_counter() - t0)
 
 

@@ -21,6 +21,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from tools.trace_timing import fence  # noqa: E402
+
 
 BATCH = 8192
 STEPS = 64
@@ -104,11 +106,11 @@ def time_path(mesh):
 
     run, state = build(mesh)
     state, losses = run(state)
-    jax.block_until_ready(losses)
+    fence(losses)
     t0 = time.perf_counter()
     for _ in range(REPEATS):
         state, losses = run(state)
-    jax.block_until_ready(losses)
+    fence(losses)
     dt = time.perf_counter() - t0
     return STEPS * REPEATS * BATCH / dt
 

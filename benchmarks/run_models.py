@@ -306,6 +306,52 @@ def main():
         f"Transformer-bf16(S={s},d=128,2+2,2x64)", jnp.bfloat16, heads=2
     )
 
+    # Retrieval-index serving QPS (round 5): exact and approximate top-k
+    # over a 100k x 64 corpus, batch-4096 queries, k=100 — the serving-side
+    # counterpart of the training rows (the reference serves via faiss on
+    # CPU; these run on the chip, ops/topk + models/retrieval/ann). The
+    # exact rows use ops/topk.exact_top_k (hierarchical selection, 4.1x
+    # over flat lax.top_k); ApproxTopK (hardware approx_max_k, recall
+    # 0.95) is the designed high-QPS path — the reference's faiss IVF is
+    # approximate too. IVF here is measured OFF its design point: its
+    # per-query bucket gather scales with B*nprobe*cap (~6.6 GB at this
+    # batch), it targets corpora too big for one matmul at small serving
+    # batches.
+    from deep_recommenders_tpu.models.retrieval import (
+        ApproxTopK,
+        BruteForce,
+        InMemoryStreaming,
+        IVF,
+    )
+
+    n_corpus, dim, qb, k = 100_000, 64, 4096, 100
+    corpus = rng.normal(0, 1, (n_corpus, dim)).astype(np.float32)
+    queries = jnp.asarray(rng.normal(0, 1, (qb, dim)).astype(np.float32))
+    indexes = [
+        ("BruteForce", BruteForce().index(corpus)),
+        ("InMemoryStreaming(chunk=16k)",
+         InMemoryStreaming(chunk_size=16384).index(corpus)),
+        ("ApproxTopK", ApproxTopK().index(corpus)),
+        ("IVF(nlist=128,nprobe=8)",
+         IVF(nlist=128, nprobe=8).index(corpus)),
+    ]
+    for name, index in indexes:
+        def q_step(c, _):
+            scores, ids = index(queries + c * 0, k=k)
+            return c + scores[0, 0] * 0, None
+
+        us = device_us_per_step(q_step, n_steps=32, carry0=jnp.zeros(()))
+        row = {
+            "model": f"index:{name}",
+            "batch": qb,
+            "corpus": n_corpus,
+            "k": k,
+            "device_us_per_step": round(us, 1),
+            "queries_per_sec_per_chip": round(qb / us * 1e6, 0),
+        }
+        RESULTS.append(row)
+        print(json.dumps(row))
+
     if args.out:
         with open(args.out, "w") as f:
             json.dump(RESULTS, f, indent=1)

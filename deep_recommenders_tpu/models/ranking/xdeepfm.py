@@ -166,7 +166,29 @@ class XDeepFM(nn.Module):
             x0v = x0v.astype(jnp.bfloat16)
             # Both layers + relu + d-sum pooling fused in one kernel pass:
             # only the pooled (B, M) tensors touch HBM (cin_kernels.py).
-            p1, p2 = cin_stack_pooled(x0v, self.cin_w1, self.cin_w2, d)
+            if self.mesh is not None:
+                # The stack is batch-parallel; under a mesh, run it as an
+                # explicit shard_map over "data" so GSPMD never treats the
+                # Pallas call as an opaque unit to replicate (which would
+                # all-gather the row tensor onto every chip). Weights are
+                # replicated; per-shard rows stay whole examples because
+                # the batch axis shards B, not B*d.
+                from jax.sharding import PartitionSpec as P
+
+                from deep_recommenders_tpu.parallel.sharding import (
+                    DATA_AXIS,
+                )
+
+                p1, p2 = jax.shard_map(
+                    lambda xv, w1, w2: cin_stack_pooled(xv, w1, w2, d),
+                    mesh=self.mesh,
+                    in_specs=(P(DATA_AXIS, None), P(), P()),
+                    out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
+                )(x0v, self.cin_w1, self.cin_w2)
+            else:
+                p1, p2 = cin_stack_pooled(
+                    x0v, self.cin_w1, self.cin_w2, d
+                )
             pooled = [p1, p2]
         else:
             x0v = x0v.astype(jnp.float32)

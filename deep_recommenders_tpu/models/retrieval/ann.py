@@ -106,7 +106,9 @@ def _ivf_search(queries, centroids, candidates, buckets, bucket_mask,
     scores = jnp.where(mask, scores, NEG_INF)
     # 4. top-k among probed candidates
     kk = min(k, scores.shape[1])
-    s, local = jax.lax.top_k(scores, kk)
+    from deep_recommenders_tpu.ops.topk import exact_top_k
+
+    s, local = exact_top_k(scores, kk)
     i = jnp.take_along_axis(safe_rows, local, axis=1)
     i = jnp.where(s > NEG_INF / 2, i, -1)
     if kk < k:  # fewer probed candidates than k: pad

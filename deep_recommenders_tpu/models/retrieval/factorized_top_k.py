@@ -35,6 +35,7 @@ import numpy as np
 
 from deep_recommenders_tpu.ops.topk import (
     chunked_top_k,
+    exact_top_k,
     exclude as exclude_op,
     merge_top_k,
     sharded_top_k,
@@ -68,7 +69,7 @@ def _streaming_fold_step(best_s, best_i, queries, batch, ids, n_valid,
     col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     scores = jnp.where(col < n_valid, scores, -jnp.inf)
     kk = min(k, batch.shape[0])
-    s, local_i = jax.lax.top_k(scores, kk)
+    s, local_i = exact_top_k(scores, kk)
     valid = ~jnp.isinf(s)
     if ids is None:
         i = jnp.where(valid, local_i + offset, -1)

@@ -263,6 +263,18 @@ def _stack_on_tpu():
     return _on_tpu() or STACK_INTERPRET
 
 
+def _vma_struct(shape, dtype, operands):
+    """ShapeDtypeStruct carrying the union of the operands' varying-mesh-
+    axes — required for pallas_call inside a shard_map body (the vma
+    checker rejects outputs that do not declare them); a no-op outside."""
+    vma = frozenset()
+    for op in operands:
+        vma = vma | (getattr(jax.typeof(op), "vma", None) or frozenset())
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
 def _stack_reference(x0v, w1, w2, d):
     """Pure-JAX semantics oracle (and the off-TPU execution path)."""
     f0 = x0v.shape[1]
@@ -382,10 +394,10 @@ def _stack_fwd_impl(x0v, w1, w2, d, *, want_residuals=False):
             pl.BlockSpec((rt, m2), lambda i: (i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((rp // d, m1), jnp.float32),
-            jax.ShapeDtypeStruct((rp // d, m2), jnp.float32),
-            jax.ShapeDtypeStruct((rp, m1), jnp.bfloat16),
-            jax.ShapeDtypeStruct((rp, m2), jnp.bfloat16),
+            _vma_struct((rp // d, m1), jnp.float32, (x0p, w1a, w2)),
+            _vma_struct((rp // d, m2), jnp.float32, (x0p, w1a, w2)),
+            _vma_struct((rp, m1), jnp.bfloat16, (x0p, w1a, w2)),
+            _vma_struct((rp, m2), jnp.bfloat16, (x0p, w1a, w2)),
         ],
         interpret=STACK_INTERPRET,
     )(x0p, w1a, w2)
@@ -565,9 +577,12 @@ def _stack_bwd(d, res, grads):
             pl.BlockSpec((f0, m1, m2), lambda i: (0, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((rp, f0), x0v.dtype),
-            jax.ShapeDtypeStruct((f0 * f0p, m1), jnp.float32),
-            jax.ShapeDtypeStruct((f0, m1, m2), jnp.float32),
+            _vma_struct((rp, f0), x0v.dtype,
+                        (x0p, w1a, w2, gp1p, gp2p)),
+            _vma_struct((f0 * f0p, m1), jnp.float32,
+                        (x0p, w1a, w2, gp1p, gp2p)),
+            _vma_struct((f0, m1, m2), jnp.float32,
+                        (x0p, w1a, w2, gp1p, gp2p)),
         ],
         interpret=STACK_INTERPRET,
     )(x0p, w1a, w2, gp1p, gp2p, z1b, z2b)

@@ -379,3 +379,24 @@ def test_streaming_query_model_matches_brute_force(rng):
         np.asarray(im_scores), np.asarray(bf_scores), rtol=1e-5
     )
     np.testing.assert_array_equal(np.asarray(im_ids), np.asarray(bf_ids))
+
+
+def test_exact_top_k_matches_lax_top_k(rng):
+    """Hierarchical wide-row selection is EXACT (any global winner is in
+    its block's top-k), including ties, -inf padding, and 3-D batches."""
+    from deep_recommenders_tpu.ops.topk import exact_top_k
+
+    for shape, k in [((7, 5000), 100), ((3, 2049), 64), ((2, 4, 3000), 10)]:
+        scores = rng.normal(size=shape).astype(np.float32)
+        # inject ties and -infs
+        scores.flat[:: 97] = 1.5
+        scores.flat[1:: 101] = -np.inf
+        s = jnp.asarray(scores)
+        es, ei = exact_top_k(s, k, block=512)
+        ls, li = jax.lax.top_k(s, k)
+        np.testing.assert_allclose(np.asarray(es), np.asarray(ls))
+        # indices may differ among equal scores; the gathered values match
+        np.testing.assert_allclose(
+            np.asarray(jnp.take_along_axis(s, ei, axis=-1)),
+            np.asarray(ls),
+        )

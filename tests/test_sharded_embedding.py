@@ -421,3 +421,63 @@ def test_deepfm_mesh_hlo_collective_schedule(mesh, rng):
     assert not bad, (
         "table-sized collective in the compiled step:\n" + "\n".join(bad)
     )
+
+
+def test_xdeepfm_fused_stack_mesh_matches_dense(mesh, rng):
+    """Meshed xDeepFM on the FUSED 2-layer stack path (round 5): the stack
+    runs as an explicit shard_map over "data" so GSPMD can never treat the
+    Pallas call as an opaque replicated unit; loss + grads must equal the
+    dense model. (The heavy-tier zoo case uses a 1-layer CIN = the generic
+    path; this covers the flagship configuration.)"""
+    from deep_recommenders_tpu.models.ranking import XDeepFM
+
+    specs = (
+        Feature("u", hash_buckets=300),
+        Feature("g", vocab=("F", "M")),
+        Feature("m", hash_buckets=400),
+    )
+    b = 16
+    batch = {
+        "u": jnp.asarray(rng.integers(0, 300, b).astype(np.int32)),
+        "g": jnp.asarray(rng.integers(0, 2, b).astype(np.int32)),
+        "m": jnp.asarray(rng.integers(0, 400, b).astype(np.int32)),
+    }
+    labels = jnp.asarray((rng.random((b, 1)) < 0.5).astype(np.float32))
+    dense = XDeepFM(specs, embedding_dim=8, cin_feature_maps=(6, 6),
+                    hidden=(16,))
+    sharded = XDeepFM(specs, embedding_dim=8, cin_feature_maps=(6, 6),
+                      hidden=(16,), mesh=mesh)
+    assert dense._use_fused_stack() and sharded._use_fused_stack()
+    params = dense.init(jax.random.PRNGKey(0), batch)
+    padded_shape = sharded.init(jax.random.PRNGKey(0), batch)["params"][
+        "embeddings"
+    ]["table"].shape
+    dense_tbl = np.asarray(params["params"]["embeddings"]["table"])
+    tbl = np.zeros(padded_shape, dense_tbl.dtype)
+    tbl[: dense_tbl.shape[0]] = dense_tbl
+    sh_params = jax.tree.map(np.array, params)
+    sh_params["params"]["embeddings"]["table"] = tbl
+    sh_params = jax.tree.map(jnp.asarray, sh_params)
+
+    def loss_fn(model):
+        def f(p):
+            logits = model.apply(p, batch)
+            return jnp.mean(
+                optax.sigmoid_binary_cross_entropy(logits, labels)
+            )
+        return f
+
+    l_dense, g_dense = jax.value_and_grad(loss_fn(dense))(params)
+    l_sh, g_sh = jax.value_and_grad(loss_fn(sharded))(sh_params)
+    np.testing.assert_allclose(float(l_sh), float(l_dense), rtol=1e-5)
+    for k in ("cin_w1", "cin_w2"):
+        np.testing.assert_allclose(
+            np.asarray(g_sh["params"][k]), np.asarray(g_dense["params"][k]),
+            rtol=1e-4, atol=1e-6, err_msg=k,
+        )
+    v = dense_tbl.shape[0]
+    np.testing.assert_allclose(
+        np.asarray(g_sh["params"]["embeddings"]["table"])[:v],
+        np.asarray(g_dense["params"]["embeddings"]["table"]),
+        rtol=1e-4, atol=1e-6,
+    )

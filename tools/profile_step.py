@@ -1,4 +1,5 @@
 import time, numpy as np, jax, jax.numpy as jnp, optax
+from tools.trace_timing import fence
 from deep_recommenders_tpu.features import Feature
 from deep_recommenders_tpu.models.ranking import DeepFM
 from deep_recommenders_tpu.training import Trainer
@@ -31,11 +32,11 @@ state = trainer.init(batch)
 params = state.params
 
 def timeit(name, fn, *args, iters=200):
-    out = fn(*args); jax.block_until_ready(out)
+    out = fn(*args); fence(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    fence(out)
     dt = (time.perf_counter() - t0) / iters
     print(f"{name:40s} {dt*1e6:9.1f} us")
     return dt
@@ -51,11 +52,11 @@ grad = jax.jit(jax.grad(loss_fn))
 timeit("fwd+bwd (grad)", grad, params, batch, labels)
 
 step = jax.jit(trainer.train_step)
-s2, l = step(state, batch, labels); jax.block_until_ready(l)
+s2, l = step(state, batch, labels); fence(l)
 t0 = time.perf_counter()
 for _ in range(200):
     state, l = step(state, batch, labels)
-jax.block_until_ready(l)
+fence(l)
 print(f"{'full train step (jit, per-call)':40s} {(time.perf_counter()-t0)/200*1e6:9.1f} us")
 
 # embedding-only forward/backward

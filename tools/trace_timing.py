@@ -19,13 +19,17 @@ _DIR = "/tmp/jax_trace_util"
 _TUNNEL_ALLOWANCE_S = 0.100
 
 
-def _fence(out):
+def fence(out):
     """Fetch one element derived from ``out`` — the only reliable fence
     through the remote-dispatch tunnel. ``jax.block_until_ready`` can
     return before the device finishes (bench.py commit 207f7a5,
-    trainer.py); a value fetch cannot, because the bytes must exist."""
+    trainer.py); a value fetch cannot, because the bytes must exist.
+    Public: every wall-timing tool in benchmarks/ should use this."""
     leaf = jax.tree_util.tree_leaves(out)[0]
     np.asarray(leaf.ravel()[0:1])
+
+
+_fence = fence  # internal alias
 
 
 def _parse_memory_breakdown(raw):
