@@ -228,6 +228,37 @@ def main():
     )
     report("MMoE(dim256,4exp)", us, b, flops, bytes_, hbm_b)
 
+    # ESMM: CTR + CTCVR towers over the shared MovieLens embedding front
+    # end (the reference's ctr/cvr multitask setup).
+    from deep_recommenders_tpu.models.multitask import ESMM
+
+    esmm = ESMM(specs=specs, embedding_dim=16)
+    eparams = esmm.init(jax.random.PRNGKey(0), batch)
+    y_ctr = jnp.asarray((rng.random((b, 1)) < 0.5).astype(np.float32))
+    y_ctcvr = y_ctr * jnp.asarray(
+        (rng.random((b, 1)) < 0.3).astype(np.float32)
+    )
+
+    def esmm_step(carry, _):
+        params, opt_state = carry
+
+        def loss_fn(p):
+            _p_cvr, p_ctr, p_ctcvr = esmm.apply(p, batch)
+            eps = 1e-7
+            bce = lambda pr, y: -jnp.mean(  # noqa: E731
+                y * jnp.log(pr + eps) + (1 - y) * jnp.log(1 - pr + eps)
+            )
+            return bce(p_ctr, y_ctr) + bce(p_ctcvr, y_ctcvr)
+
+        g = jax.grad(loss_fn)(params)
+        up, opt_state = opt.update(g, opt_state, params)
+        return (optax.apply_updates(params, up), opt_state), None
+
+    us, flops, bytes_, hbm_b = device_us_per_step(
+        esmm_step, cost=True, hbm=True, carry0=(eparams, opt.init(eparams))
+    )
+    report("ESMM", us, b, flops, bytes_, hbm_b)
+
     # Two-tower retrieval with in-batch sampled softmax (batch smaller:
     # the BxB score matrix dominates)
     from deep_recommenders_tpu.models.retrieval import TwoTower
