@@ -337,6 +337,39 @@ def main():
         f"Transformer-bf16(S={s},d=128,2+2,2x64)", jnp.bfloat16, heads=2
     )
 
+    # GCN: full-batch semi-supervised step at Cora scale (2708 nodes,
+    # dense renormalized adjacency on the MXU — ops/sparse covers larger
+    # graphs; see BASELINE GCN quality row for accuracy parity).
+    from deep_recommenders_tpu.datasets import Cora
+    from deep_recommenders_tpu.models.retrieval import GCN
+
+    cora = Cora(seed=0)
+    feats = jnp.asarray(cora.features.astype(np.float32))
+    adj = jnp.asarray(cora.spectral_adjacency.astype(np.float32))
+    train_lab, train_mask_np = cora.splits()["train"]
+    labels_oh = jnp.asarray(train_lab)
+    train_mask = jnp.asarray(train_mask_np.astype(np.float32))
+    gcn = GCN(hidden=(16,), num_classes=cora.num_classes, dropout=None)
+    gparams = gcn.init(jax.random.PRNGKey(0), feats, adj)
+
+    def gcn_step(carry, _):
+        params, opt_state = carry
+
+        def loss_fn(p):
+            logits = gcn.apply(p, feats, adj)
+            logp = jax.nn.log_softmax(logits)
+            per = -jnp.sum(labels_oh * logp, axis=-1) * train_mask
+            return per.sum() / jnp.maximum(train_mask.sum(), 1.0)
+
+        g = jax.grad(loss_fn)(params)
+        up, opt_state = opt.update(g, opt_state, params)
+        return (optax.apply_updates(params, up), opt_state), None
+
+    us, flops, bytes_, hbm_b = device_us_per_step(
+        gcn_step, cost=True, hbm=True, carry0=(gparams, opt.init(gparams))
+    )
+    report("GCN(Cora,dense)", us, feats.shape[0], flops, bytes_, hbm_b)
+
     # Retrieval-index serving QPS (round 5): exact and approximate top-k
     # over a 100k x 64 corpus, batch-4096 queries, k=100 — the serving-side
     # counterpart of the training rows (the reference serves via faiss on
