@@ -216,3 +216,53 @@ def device_op_breakdown(step_fn, n_steps=64, carry0=None, top=20):
     for k, v in sorted(rows.items(), key=lambda kv: -kv[1])[:top]:
         print(f"    {v/n_steps:9.2f} us/step  {k[:110]}")
     return rows
+
+
+def device_source_breakdown(step_fn, n_steps=16, carry0=None, top=25):
+    """Attribute device time to PYTHON SOURCE LINES.
+
+    Compiles the scanned step, parses the compiled HLO's per-op metadata
+    (source_file:source_line), then aggregates the profiler trace's XLA-Ops
+    durations by source location. Where an op breakdown says "fusion.122",
+    this says "models/nlp/attention.py:117" — the view that tells you which
+    MODEL line to optimize. Async -start/-done pairs are counted once.
+    """
+    import re
+
+    if carry0 is None:
+        carry0 = jnp.zeros((), jnp.int32)
+    f = jax.jit(lambda c: jax.lax.scan(step_fn, c, None, length=n_steps))
+    hlo = f.lower(carry0).compile().as_text()
+    src_of = {}
+    pat = re.compile(
+        r"%([\w.\-]+) = .*?source_file=\"([^\"]+)\" source_line=(\d+)"
+    )
+    for m in pat.finditer(hlo):
+        src_of[m.group(1)] = f"{m.group(2).split('/')[-1]}:{m.group(3)}"
+    out = f(carry0)
+    _fence(out)
+    shutil.rmtree(_DIR, ignore_errors=True)
+    with jax.profiler.trace(_DIR):
+        out = f(carry0)
+        _fence(out)
+    rows = {}
+    for fp in glob.glob(f"{_DIR}/**/*.xplane.pb", recursive=True):
+        xs = xplane_pb2.XSpace()
+        xs.ParseFromString(open(fp, "rb").read())
+        for plane in xs.planes:
+            if "TPU" not in plane.name:
+                continue
+            ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
+            for line in plane.lines:
+                if "XLA Ops" not in line.name:
+                    continue
+                for ev in line.events:
+                    name = ev_meta.get(ev.metadata_id, "?")
+                    op = name.split(" = ")[0].lstrip("%")
+                    if "-done" in op:
+                        continue
+                    key = src_of.get(op, f"<no-source:{op.split('.')[0]}>")
+                    rows[key] = rows.get(key, 0) + ev.duration_ps / 1e6
+    for k, v in sorted(rows.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"    {v/n_steps:9.1f} us/step  {k}")
+    return rows
