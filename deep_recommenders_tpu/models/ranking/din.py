@@ -5,8 +5,9 @@ Parity: ref deep_recommenders/keras/models/ranking/din.py —
   Dense(1) attention score (ref din.py:59-71); ``interacter`` is pluggable
   (the canonical choice is elementwise subtract).
 - Dice: data-adaptive activation blending PReLU branches by
-  p = sigmoid(standardized x) (ref din.py:110-121; we use the paper's
-  variance normalization — see ops/dice.py for the documented divergence).
+  p = sigmoid(standardized x) (ref din.py:110-121). BOTH normalizations
+  ship: the DIN paper's sqrt(variance) (default) and the reference's
+  literal sqrt(reduce_std) via normalization="reference" (ops/dice.py).
 
 The reference ships only the layers; ``DIN`` here is the full model: the
 ActivationUnit scores every position of the user-behavior sequence against
@@ -39,16 +40,25 @@ from deep_recommenders_tpu.ops.dice import dice
 
 
 class Dice(nn.Module):
-    """Dice activation with learnable PReLU slope."""
+    """Dice activation with learnable PReLU slope.
+
+    ``normalization="reference"`` reproduces the reference's sqrt(std)
+    denominator exactly (ops/dice.py module docstring); the default is
+    the DIN paper's sqrt(variance).
+    """
 
     epsilon: float = 1e-8
+    normalization: str = "paper"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         alpha = self.param(
             "alpha", nn.initializers.zeros, (x.shape[-1],)
         )
-        return dice(x, alpha, epsilon=self.epsilon)
+        return dice(
+            x, alpha, epsilon=self.epsilon,
+            normalization=self.normalization,
+        )
 
 
 class ActivationUnit(nn.Module):

@@ -1,12 +1,16 @@
 """Dice data-adaptive activation (DIN).
 
-p = sigmoid((x - mean) / sqrt(var + eps)) over the feature axis, blended with
-a PReLU: out = where(x > 0, p*x, (1-p)*alpha*x-ish blend. The reference
-(ref deep_recommenders/keras/models/ranking/din.py:110-121) computes
-``sqrt(reduce_std + eps)`` — i.e. the square root of the standard deviation —
-which deviates from the DIN paper; we implement the paper's
-``sqrt(variance + eps)`` normalization (documented divergence, SURVEY §2.3)
-and keep the reference's where(x>0, p*x, (1-p)*x) blend on top of PReLU.
+p = sigmoid((x - mean) / sqrt(var + eps)) over the feature axis, blended
+with a PReLU: out = where(prelu > 0, p * prelu, (1 - p) * prelu).
+
+Two normalizations are offered (round 5 closes the last documented
+divergence by shipping BOTH):
+- ``"paper"`` (default): the DIN paper's ``sqrt(variance + eps)``.
+- ``"reference"``: the reference computes ``tf.math.reduce_std`` but names
+  it ``inputs_var`` and then takes ``sqrt(std + eps)`` — i.e. the square
+  root of the STANDARD DEVIATION
+  (ref deep_recommenders/keras/models/ranking/din.py:110-121). Select this
+  mode for bit-faithful reference behavior.
 """
 
 from __future__ import annotations
@@ -20,10 +24,22 @@ def dice(
     alpha: jax.Array,
     epsilon: float = 1e-8,
     axis: int = 1,
+    normalization: str = "paper",
 ) -> jax.Array:
-    """Dice activation. ``alpha`` is the learnable PReLU slope (broadcastable)."""
+    """Dice activation. ``alpha`` is the learnable PReLU slope
+    (broadcastable); ``normalization`` is "paper" or "reference" (see
+    module docstring)."""
     mean = jnp.mean(x, axis=axis, keepdims=True)
     var = jnp.var(x, axis=axis, keepdims=True)
-    p = jax.nn.sigmoid((x - mean) * jax.lax.rsqrt(var + epsilon))
+    if normalization == "paper":
+        inv = jax.lax.rsqrt(var + epsilon)
+    elif normalization == "reference":
+        inv = jax.lax.rsqrt(jnp.sqrt(var) + epsilon)
+    else:
+        raise ValueError(
+            f"normalization must be 'paper' or 'reference', "
+            f"got {normalization!r}"
+        )
+    p = jax.nn.sigmoid((x - mean) * inv)
     prelu = jnp.where(x > 0, x, alpha * x)
     return jnp.where(prelu > 0, p * prelu, (1.0 - p) * prelu)

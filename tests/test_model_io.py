@@ -91,6 +91,14 @@ CASES = {
         ),
         lambda rng: (_id_batch(rng),),
     ),
+    # 2-layer relu config = the fused-stack param layout (cin_w1/cin_w2,
+    # round 5) — distinct from the generic layered path above.
+    "xdeepfm_stack": (
+        lambda: XDeepFM(
+            SPECS, embedding_dim=8, cin_feature_maps=(6, 6), hidden=(16,),
+        ),
+        lambda rng: (_id_batch(rng),),
+    ),
     "mmoe": (
         lambda: MMoE(
             num_tasks=2, num_experts=3, expert_hidden=(16,),

@@ -210,3 +210,28 @@ def test_cin_stack_kernel_grad_is_exact_in_interpret_mode(rng):
         a, r = np.asarray(a), np.asarray(r)
         err = np.abs(a - r).max() / (np.abs(r).max() + 1e-6)
         assert err < 2e-2, (name, err)
+
+
+def test_dice_reference_normalization_mode(rng):
+    """normalization="reference" reproduces the ref's sqrt(reduce_std)
+    denominator (ref din.py:110-121 computes reduce_std but names it var);
+    the default stays the DIN paper's sqrt(variance)."""
+    x = rng.normal(size=(16, 8)).astype(np.float32)
+    alpha = np.full((8,), 0.25, np.float32)
+    mean = x.mean(axis=1, keepdims=True)
+    var = x.var(axis=1, keepdims=True)
+    for mode, denom in (
+        ("paper", np.sqrt(var + 1e-8)),
+        ("reference", np.sqrt(np.sqrt(var) + 1e-8)),
+    ):
+        p = 1.0 / (1.0 + np.exp(-(x - mean) / denom))
+        prelu = np.where(x > 0, x, alpha * x)
+        want = np.where(prelu > 0, p * prelu, (1 - p) * prelu)
+        got = np.asarray(
+            dice(jnp.asarray(x), jnp.asarray(alpha), normalization=mode)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    import pytest
+
+    with pytest.raises(ValueError):
+        dice(jnp.asarray(x), jnp.asarray(alpha), normalization="bogus")
