@@ -268,25 +268,33 @@ def main():
     user_specs = specs[:4]
     item_specs = specs[4:]
     ub = {k: v[:br] for k, v in batch.items()}
-    tt = TwoTower(query_specs=user_specs, candidate_specs=item_specs,
-                  embedding_dim=32, hidden=(64,), output_dim=32)
-    tparams = tt.init(jax.random.PRNGKey(0), ub, ub)
 
-    def tt_step(carry, _):
-        params, opt_state = carry
+    def bench_tt(label, dtype):
+        tt = TwoTower(query_specs=user_specs, candidate_specs=item_specs,
+                      embedding_dim=32, hidden=(64,), output_dim=32)
+        tparams = tt.init(jax.random.PRNGKey(0), ub, ub)
 
-        def loss_fn(p):
-            q, c = tt.apply(p, ub, ub)
-            return in_batch_retrieval_loss(q, c)
+        def tt_step(carry, _):
+            params, opt_state = carry
 
-        g = jax.grad(loss_fn)(params)
-        up, opt_state = opt.update(g, opt_state, params)
-        return (optax.apply_updates(params, up), opt_state), None
+            def loss_fn(p):
+                q, c = tt.apply(p, ub, ub)
+                return in_batch_retrieval_loss(q, c, compute_dtype=dtype)
 
-    us, flops, bytes_, hbm_b = device_us_per_step(
-        tt_step, cost=True, hbm=True, carry0=(tparams, opt.init(tparams))
-    )
-    report("TwoTower(in-batch)", us, br, flops, bytes_, hbm_b)
+            g = jax.grad(loss_fn)(params)
+            up, opt_state = opt.update(g, opt_state, params)
+            return (optax.apply_updates(params, up), opt_state), None
+
+        us, flops, bytes_, hbm_b = device_us_per_step(
+            tt_step, cost=True, hbm=True,
+            carry0=(tparams, opt.init(tparams)),
+        )
+        report(label, us, br, flops, bytes_, hbm_b)
+
+    bench_tt("TwoTower(in-batch)", None)
+    # bf16 score matmul (the K=32 contraction runs at 4x the fp32 MXU
+    # rate) + the sparse diagonal CE fast path (round 5).
+    bench_tt("TwoTower-bf16(in-batch)", jnp.bfloat16)
 
     # Transformer: the example config (encoder-only classification head is
     # what the IMDB example trains; here the full enc-dec seq2seq step).

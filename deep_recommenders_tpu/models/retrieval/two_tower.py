@@ -117,6 +117,8 @@ class Retrieval:
     metrics: Optional[FactorizedTopK] = None
     axis_name: Optional[str] = None  # set to "data" for pod-wide negatives
     mesh: Optional[object] = None  # jax.sharding.Mesh for the jit-level form
+    # bf16 score-matmul operands (softmax stats and loss stay fp32):
+    compute_dtype: Optional[object] = None
 
     def __call__(
         self,
@@ -147,6 +149,7 @@ class Retrieval:
                 num_hard_negatives=self.num_hard_negatives,
                 temperature=self.temperature,
                 data_axis=self.axis_name,
+                compute_dtype=self.compute_dtype,
             )
         else:
             loss = in_batch_retrieval_loss(
@@ -162,6 +165,7 @@ class Retrieval:
                 num_hard_negatives=self.num_hard_negatives,
                 temperature=self.temperature,
                 axis_name=self.axis_name,
+                compute_dtype=self.compute_dtype,
             )
         if self.metrics is None or metric_state is None:
             return loss

@@ -400,3 +400,50 @@ def test_exact_top_k_matches_lax_top_k(rng):
             np.asarray(jnp.take_along_axis(s, ei, axis=-1)),
             np.asarray(ls),
         )
+
+
+def test_in_batch_loss_sparse_diagonal_matches_dense_labels(rng):
+    """The no-hard-negatives fast path (lse - positive) == the dense
+    labels*log_softmax formulation, with and without corrections."""
+    from deep_recommenders_tpu.ops.retrieval import in_batch_retrieval_loss
+
+    b, d = 32, 8
+    q = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+    c = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, 10, b))
+    prob = jnp.asarray(rng.random(b).astype(np.float32) + 0.01)
+
+    def dense_ref(scores_adj):
+        labels = jnp.eye(b, dtype=scores_adj.dtype)
+        logp = jax.nn.log_softmax(scores_adj, axis=-1)
+        return float(jnp.sum(-jnp.sum(labels * logp, axis=-1)))
+
+    for kwargs in (
+        {},
+        {"temperature": 0.2},
+        {"candidate_ids": ids, "candidate_sampling_probability": prob},
+    ):
+        got = float(in_batch_retrieval_loss(q, c, **kwargs))
+        # rebuild the adjusted scores the dense way
+        from deep_recommenders_tpu.ops.retrieval import (
+            remove_accidental_negatives,
+            sampling_probability_correction,
+        )
+
+        scores = q @ c.T
+        if "candidate_sampling_probability" in kwargs:
+            scores = sampling_probability_correction(scores, prob)
+        if "candidate_ids" in kwargs:
+            scores = remove_accidental_negatives(
+                scores, jnp.eye(b, dtype=scores.dtype), ids
+            )
+        if "temperature" in kwargs:
+            scores = scores / kwargs["temperature"]
+        np.testing.assert_allclose(got, dense_ref(scores), rtol=1e-5)
+
+    # bf16 knob: same loss within mixed-precision tolerance
+    l32 = float(in_batch_retrieval_loss(q, c))
+    l16 = float(
+        in_batch_retrieval_loss(q, c, compute_dtype=jnp.bfloat16)
+    )
+    assert abs(l32 - l16) / abs(l32) < 2e-2
